@@ -1,0 +1,14 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+Multi-chip sharding paths (trinity_tpu.parallel) are tested on a virtual
+CPU mesh, per SURVEY.md §4(c). Must run before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,152 @@
+import numpy as np
+import pytest
+
+from trinity_tpu.index.builder import SegmentIndexSession
+from trinity_tpu.index.format import (
+    SegmentData,
+    decode_block,
+    term_positions,
+    term_postings,
+)
+from trinity_tpu.index.terms import lookup_term, pack_terms, unpack_terms
+
+
+def build_corpus(rng, n_docs=500, vocab=200, doc_len=(5, 60)):
+    """Random Zipf-ish corpus; returns (session, {doc_id: [tokens]})."""
+    sess = SegmentIndexSession()
+    docs = {}
+    zipf = 1.0 / np.arange(1, vocab + 1)
+    zipf /= zipf.sum()
+    for d in range(n_docs):
+        doc_id = d * 3 + 7  # sparse app ids
+        length = int(rng.integers(*doc_len))
+        toks = [f"t{int(i)}" for i in rng.choice(vocab, size=length, p=zipf)]
+        docs[doc_id] = toks
+        proxy = sess.begin(doc_id)
+        for pos, t in enumerate(toks, start=1):
+            proxy.insert(t, pos)
+        sess.insert(proxy)
+    return sess, docs
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(42)
+    sess, docs = build_corpus(rng)
+    return sess.commit(), docs
+
+
+def naive_postings(docs, term, doc_map):
+    """Expected (local docids, freqs) for a term."""
+    local = {int(a): i for i, a in enumerate(doc_map)}
+    out = []
+    for doc_id in sorted(docs):
+        freq = docs[doc_id].count(term)
+        if freq:
+            out.append((local[doc_id], freq))
+    if not out:
+        return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    a = np.array(out, dtype=np.uint32)
+    return a[:, 0], a[:, 1]
+
+
+def test_doc_map_sorted(built):
+    seg, docs = built
+    np.testing.assert_array_equal(seg.doc_map, np.array(sorted(docs), np.uint32))
+
+
+def test_terms_sorted(built):
+    seg, _ = built
+    assert seg.terms == sorted(seg.terms)
+
+
+def test_postings_roundtrip_all_terms(built):
+    seg, docs = built
+    for tid, term in enumerate(seg.terms):
+        d, f = term_postings(seg, tid)
+        ed, ef = naive_postings(docs, term.decode(), seg.doc_map)
+        np.testing.assert_array_equal(d, ed, err_msg=f"docs of {term}")
+        np.testing.assert_array_equal(f, ef, err_msg=f"freqs of {term}")
+        assert seg.term_df[tid] == len(ed)
+
+
+def test_positions(built):
+    seg, docs = built
+    rng = np.random.default_rng(7)
+    local_of = {int(a): i for i, a in enumerate(seg.doc_map)}
+    for doc_id in rng.choice(sorted(docs), size=20, replace=False):
+        toks = docs[int(doc_id)]
+        term = toks[0]
+        tid = seg.term_id(term)
+        expect = [p for p, t in enumerate(toks, start=1) if t == term]
+        got = term_positions(seg, tid, local_of[int(doc_id)])
+        assert list(got) == expect
+
+
+def test_field_stats(built):
+    seg, docs = built
+    assert seg.stats.docs_cnt == len(docs)
+    assert seg.stats.sum_term_hits == sum(len(t) for t in docs.values())
+    assert seg.stats.total_terms == len(seg.terms)
+    assert seg.stats.sum_terms_docs == sum(
+        len(set(t)) for t in docs.values()
+    )
+
+
+def test_persist_load_roundtrip(built, tmp_path):
+    seg, _ = built
+    seg.persist(str(tmp_path / "seg"))
+    seg2 = SegmentData.load(str(tmp_path / "seg"))
+    np.testing.assert_array_equal(seg.packed, seg2.packed)
+    np.testing.assert_array_equal(seg.doc_map, seg2.doc_map)
+    np.testing.assert_array_equal(seg.positions, seg2.positions)
+    assert seg.terms == seg2.terms
+    assert seg2.stats.docs_cnt == seg.stats.docs_cnt
+
+
+def test_terms_dictionary(built):
+    seg, _ = built
+    data, idx = pack_terms(seg.terms)
+    assert unpack_terms(data, idx) == seg.terms
+    for i in range(0, len(seg.terms), 17):
+        assert lookup_term(data, idx, seg.terms[i]) == i
+    assert lookup_term(data, idx, b"zzzz-nonexistent") == -1
+    assert lookup_term(data, idx, b"") == -1
+
+
+def test_update_and_erase():
+    sess = SegmentIndexSession()
+    p = sess.begin(5)
+    p.insert("hello", 1)
+    sess.update(p)
+    sess.erase(9)
+    seg = sess.commit()
+    np.testing.assert_array_equal(seg.updated_ids, np.array([5, 9], np.uint32))
+
+
+def test_duplicate_doc_rejected():
+    sess = SegmentIndexSession()
+    p = sess.begin(1)
+    p.insert("a", 1)
+    sess.insert(p)
+    p2 = sess.begin(1)
+    p2.insert("b", 1)
+    with pytest.raises(ValueError):
+        sess.insert(p2)
+
+
+def test_multi_block_term():
+    """A term with > 128 docs spans multiple blocks."""
+    sess = SegmentIndexSession()
+    for d in range(300):
+        p = sess.begin(d)
+        p.insert("common", 1)
+        if d % 3 == 0:
+            p.insert("third", 2)
+        sess.insert(p)
+    seg = sess.commit()
+    tid = seg.term_id("common")
+    assert seg.term_nblocks[tid] == 3
+    d, f = term_postings(seg, tid)
+    np.testing.assert_array_equal(d, np.arange(300, dtype=np.uint32))
+    np.testing.assert_array_equal(f, np.ones(300, np.uint32))

@@ -1,0 +1,248 @@
+"""Segment builder — the indexing session.
+
+API analog of the reference's SegmentIndexSession (indexer.h:30-225):
+``begin(docid)`` returns a document proxy, ``proxy.insert(term, pos,
+payload)`` buffers hits (indexer.cpp:14-31), ``insert/update/erase`` commit a
+document, and ``commit()`` produces a block-aligned SegmentData. The
+reference's commit pipeline — scan intermediate state into (term, doc, hits)
+tuples, partitioned parallel sort, per-term encoder replay
+(indexer.cpp:311-564) — becomes vectorized numpy: one stable lexsort over
+(term, local-doc) keys and grouped slicing, emitting bit-plane blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from trinity_tpu.index.format import FieldStatistics, SegmentData
+from trinity_tpu.limits import (
+    BLOCK_SIZE,
+    MAX_FREQ_BITS,
+    MAX_POSITION,
+    MAX_TERM_LENGTH,
+    PLANE_WORDS,
+)
+from trinity_tpu.utils.bitpack import bit_width, pack_planes
+
+
+class DocumentProxy:
+    """Buffers one document's hits (document_proxy, indexer.h:99-149)."""
+
+    __slots__ = ("doc_id", "hits", "_session")
+
+    def __init__(self, session, doc_id: int):
+        self._session = session
+        self.doc_id = doc_id
+        self.hits = []  # (term_id, position, payload)
+
+    def insert(self, term, position: int, payload: int = 0) -> None:
+        if position >= MAX_POSITION:
+            raise ValueError(f"position {position} >= MaxPosition {MAX_POSITION}")
+        tid = self._session._intern(term)
+        self.hits.append((tid, position, payload))
+
+
+class SegmentIndexSession:
+    """Builds one segment from documents (indexer.h:30, indexer.cpp:311-564)."""
+
+    def __init__(self, track_payloads: bool = False):
+        self._terms: dict = {}  # bytes -> intern id (session-local, indexer.cpp:161-185)
+        self._term_list: list = []
+        self._docs: dict = {}  # app docid -> list[(intern tid, pos, payload)]
+        self._updated: set = set()
+        self.track_payloads = track_payloads
+
+    # ----------------------------------------------------------- interning
+    def _intern(self, term) -> int:
+        if isinstance(term, str):
+            term = term.encode("utf-8")
+        if not term or len(term) > MAX_TERM_LENGTH:
+            raise ValueError(f"bad term length {len(term)}")
+        tid = self._terms.get(term)
+        if tid is None:
+            tid = len(self._term_list)
+            self._terms[term] = tid
+            self._term_list.append(term)
+        return tid
+
+    # ----------------------------------------------------------- documents
+    def begin(self, doc_id: int) -> DocumentProxy:
+        return DocumentProxy(self, doc_id)
+
+    def insert(self, proxy: DocumentProxy) -> None:
+        """Index a new document (indexer.h:192-198)."""
+        self._commit_document(proxy)
+
+    def update(self, proxy: DocumentProxy) -> None:
+        """Index + shadow older copies in older segments (indexer.h:199-205)."""
+        self._commit_document(proxy)
+        self._updated.add(proxy.doc_id)
+
+    def erase(self, doc_id: int) -> None:
+        """Only shadow older copies (indexer.cpp:224-227)."""
+        self._updated.add(doc_id)
+
+    def _commit_document(self, proxy: DocumentProxy) -> None:
+        if proxy.doc_id in self._docs:
+            # duplicate-doc guard (indexer.cpp:187-222)
+            raise ValueError(f"document {proxy.doc_id} committed twice")
+        self._docs[proxy.doc_id] = proxy.hits
+
+    # -------------------------------------------------------------- commit
+    def commit(self) -> SegmentData:
+        app_ids = np.array(sorted(self._docs), dtype=np.uint32)
+        n_docs = len(app_ids)
+        local_of = {int(a): i for i, a in enumerate(app_ids)}
+
+        # flatten all hits into arrays: (intern tid, local doc, pos, payload)
+        total = sum(len(h) for h in self._docs.values())
+        tid_a = np.empty(total, np.int64)
+        doc_a = np.empty(total, np.int64)
+        pos_a = np.empty(total, np.int64)
+        pay_a = np.empty(total, np.uint64) if self.track_payloads else None
+        o = 0
+        for app_id, hits in self._docs.items():
+            ld = local_of[app_id]
+            for t, p, pl in hits:
+                tid_a[o] = t
+                doc_a[o] = ld
+                pos_a[o] = p
+                if pay_a is not None:
+                    pay_a[o] = pl
+                o += 1
+
+        # sorted term space: intern id -> sorted ordinal (terms_cmp order)
+        order = sorted(range(len(self._term_list)), key=lambda i: self._term_list[i])
+        sorted_terms = [self._term_list[i] for i in order]
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order))
+        if total:
+            tid_a = rank[tid_a]
+
+        # one lexsort replaces the 32-way partitioned parallel sort
+        # (indexer.cpp:395-420): key = (term ordinal, local doc, position)
+        if total:
+            perm = np.lexsort((pos_a, doc_a, tid_a))
+            tid_a, doc_a, pos_a = tid_a[perm], doc_a[perm], pos_a[perm]
+            if pay_a is not None:
+                pay_a = pay_a[perm]
+
+        return _build_segment(
+            app_ids,
+            sorted_terms,
+            tid_a,
+            doc_a,
+            pos_a,
+            pay_a,
+            np.array(sorted(self._updated), dtype=np.uint32),
+            n_docs,
+        )
+
+
+def _build_segment(
+    app_ids, sorted_terms, tid_a, doc_a, pos_a, pay_a, updated, n_docs
+) -> SegmentData:
+    """Encoder replay (indexer.cpp:429-480) vectorized: grouped (term, doc)
+    runs -> freqs; per-term 128-doc blocks -> bit planes."""
+    n_terms = len(sorted_terms)
+    total = len(tid_a)
+
+    # unique (term, doc) postings and their freqs
+    if total:
+        key = tid_a * (n_docs + 1) + doc_a
+        boundaries = np.empty(total, bool)
+        boundaries[0] = True
+        np.not_equal(key[1:], key[:-1], out=boundaries[1:])
+        p_start = np.flatnonzero(boundaries)
+        p_tid = tid_a[p_start]
+        p_doc = doc_a[p_start]
+        p_freq = np.diff(np.append(p_start, total))
+    else:
+        p_tid = p_doc = p_freq = np.zeros(0, np.int64)
+        p_start = np.zeros(0, np.int64)
+
+    n_postings = len(p_tid)
+    term_df = np.bincount(p_tid, minlength=n_terms).astype(np.uint32)
+    term_sum_hits = (
+        np.bincount(p_tid, weights=p_freq, minlength=n_terms).astype(np.uint64)
+        if n_postings
+        else np.zeros(n_terms, np.uint64)
+    )
+
+    # block layout
+    term_nblocks = -(-term_df.astype(np.int64) // BLOCK_SIZE)
+    term_block_start = np.zeros(n_terms, np.int64)
+    if n_terms > 1:
+        term_block_start[1:] = np.cumsum(term_nblocks[:-1])
+    n_blocks = int(term_nblocks.sum())
+
+    block_word_off = np.zeros(n_blocks, np.uint32)
+    block_first_doc = np.zeros(n_blocks, np.uint32)
+    block_last_doc = np.zeros(n_blocks, np.uint32)
+    block_count = np.zeros(n_blocks, np.int32)
+    block_bits_doc = np.zeros(n_blocks, np.uint8)
+    block_bits_freq = np.zeros(n_blocks, np.uint8)
+    block_hits_off = np.zeros(n_blocks, np.uint32)
+
+    packed_parts = []
+    word_off = 0
+    term_posting_start = np.searchsorted(p_tid, np.arange(n_terms))
+    if n_postings and int(p_freq.max()) > (1 << MAX_FREQ_BITS):
+        raise ValueError("per-document term frequency exceeds 2^16")
+    # hits offset per posting = start index into pos_a (positions already grouped)
+    for t in range(n_terms):
+        ps, pe = term_posting_start[t], term_posting_start[t + 1] if t + 1 < n_terms else n_postings
+        b0 = int(term_block_start[t])
+        for bi, off in enumerate(range(ps, pe, BLOCK_SIZE)):
+            b = b0 + bi
+            sl = slice(off, min(off + BLOCK_SIZE, pe))
+            docs = p_doc[sl]
+            freqs = p_freq[sl]
+            deltas = np.empty(len(docs), np.uint32)
+            deltas[0] = 0
+            np.subtract(docs[1:], docs[:-1], out=deltas[1:], casting="unsafe")
+            bd = bit_width(int(deltas.max(initial=0)))
+            f1 = (freqs - 1).astype(np.uint32)
+            bf = bit_width(int(f1.max(initial=0)))
+            packed_parts.append(pack_planes(deltas, bd))
+            packed_parts.append(pack_planes(f1, bf))
+            block_word_off[b] = word_off
+            block_first_doc[b] = docs[0]
+            block_last_doc[b] = docs[-1]
+            block_count[b] = len(docs)
+            block_bits_doc[b] = bd
+            block_bits_freq[b] = bf
+            block_hits_off[b] = p_start[off]
+            word_off += (bd + bf) * PLANE_WORDS
+
+    packed = (
+        np.concatenate(packed_parts) if packed_parts else np.zeros(0, np.uint32)
+    )
+
+    stats = FieldStatistics(
+        sum_term_hits=int(total),
+        total_terms=n_terms,
+        sum_terms_docs=int(n_postings),
+        docs_cnt=n_docs,
+    )
+    return SegmentData(
+        doc_map=app_ids,
+        terms=sorted_terms,
+        term_block_start=term_block_start.astype(np.uint32),
+        term_nblocks=term_nblocks.astype(np.uint32),
+        term_df=term_df,
+        term_sum_hits=term_sum_hits.astype(np.uint32),
+        block_word_off=block_word_off,
+        block_first_doc=block_first_doc,
+        block_last_doc=block_last_doc,
+        block_count=block_count,
+        block_bits_doc=block_bits_doc,
+        block_bits_freq=block_bits_freq,
+        block_hits_off=block_hits_off,
+        packed=packed,
+        positions=pos_a.astype(np.uint16),
+        payloads=pay_a if pay_a is not None else None,
+        updated_ids=updated,
+        stats=stats,
+        max_position=int(pos_a.max(initial=0)),
+    )

@@ -1,0 +1,228 @@
+"""Segment format: block-aligned struct-of-arrays postings.
+
+The TPU-native equivalent of the reference's lucene codec segment
+(lucene_codec.cpp:163-381: per-term headers, PFor blocks, skiplist entries,
+hits stream) re-laid-out as dense HBM-resident arrays so device kernels can
+address everything with static shapes:
+
+- docid space is dense ``[0, n_docs)``; ``doc_map`` translates local ->
+  application doc ids (the analog of IndexSource::translate_docid,
+  index_source.h:100-114).
+- each term's postings are split into blocks of <= 128 docs, bit-plane
+  packed (utils/bitpack.py). Per-block skip metadata plays the role of the
+  lucene skiplist entry {indexOffset, lastDocID, totalHitsSoFar, ...}
+  (lucene_codec.h:128-139) — but lives in flat arrays, searchable with
+  vectorized searchsorted instead of branchy binary search
+  (lucene_codec.cpp:596-656).
+- positions ("hits") are a flat stream addressed by block_hits_off +
+  in-block freq prefix sums — the same addressing scheme the reference's
+  skiplist fields totalHitsSoFar/curHitsBlockHits enable
+  (lucene_codec.h:259-266).
+
+A persisted segment directory is the checkpoint/recovery unit (SURVEY §5.4):
+files are written to ``<name>.t`` and renamed, like persist_segment
+(indexer.cpp:281-300).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from trinity_tpu.limits import BLOCK_SIZE, WINDOW_SIZE
+
+FORMAT_VERSION = 1
+CODEC_NAME = "tpu_planes"
+
+
+@dataclass
+class FieldStatistics:
+    """Per-segment stats for scoring (index_source.h:44-53, indexer.cpp:366-473)."""
+
+    sum_term_hits: int = 0  # sum of all term freqs (total hits)
+    total_terms: int = 0  # distinct terms
+    sum_terms_docs: int = 0  # sum of per-term document frequencies
+    docs_cnt: int = 0  # documents in segment
+
+    def to_dict(self):
+        return {
+            "sumTermHits": self.sum_term_hits,
+            "totalTerms": self.total_terms,
+            "sumTermsDocs": self.sum_terms_docs,
+            "docsCnt": self.docs_cnt,
+        }
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(d["sumTermHits"], d["totalTerms"], d["sumTermsDocs"], d["docsCnt"])
+
+
+@dataclass
+class SegmentData:
+    """In-memory segment: all postings state as flat numpy arrays."""
+
+    # local docid -> application docid, ascending (dense local id space)
+    doc_map: np.ndarray  # u32 [n_docs]
+    # terms, sorted by byte comparison (terms_cmp, common.h:50-58)
+    terms: list  # list[bytes], index = term id
+    term_block_start: np.ndarray  # u32 [n_terms]
+    term_nblocks: np.ndarray  # u32 [n_terms]
+    term_df: np.ndarray  # u32 [n_terms] document frequency
+    term_sum_hits: np.ndarray  # u32 [n_terms] total freq over docs
+    # per-block skip metadata
+    block_word_off: np.ndarray  # u32 [n_blocks] offset into packed
+    block_first_doc: np.ndarray  # u32 [n_blocks] local docid of first posting
+    block_last_doc: np.ndarray  # u32 [n_blocks] local docid of last posting
+    block_count: np.ndarray  # i32 [n_blocks] postings in block (<= 128)
+    block_bits_doc: np.ndarray  # u8 [n_blocks]
+    block_bits_freq: np.ndarray  # u8 [n_blocks]
+    block_hits_off: np.ndarray  # u32 [n_blocks] offset into positions
+    # payload streams
+    packed: np.ndarray  # u32 [total_words] bit planes
+    positions: np.ndarray  # u16 [total_hits]
+    payloads: np.ndarray | None  # u64 [total_hits] or None
+    # masking & stats
+    updated_ids: np.ndarray  # u32 [k] sorted app docids shadowed by this segment
+    stats: FieldStatistics = field(default_factory=FieldStatistics)
+    # max indexed token position (IndexSource::max_indexed_position analog)
+    max_position: int = 0
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_map)
+
+    @property
+    def n_terms(self) -> int:
+        return len(self.terms)
+
+    @property
+    def n_windows(self) -> int:
+        return max(1, -(-self.n_docs // WINDOW_SIZE))
+
+    def term_id(self, term) -> int:
+        """Exact term lookup -> term id, or -1 (resolve_term_ctx analog)."""
+        if isinstance(term, str):
+            term = term.encode("utf-8")
+        import bisect
+
+        i = bisect.bisect_left(self.terms, term)
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    # ------------------------------------------------------------------ I/O
+    _ARRAYS = (
+        "doc_map",
+        "term_block_start",
+        "term_nblocks",
+        "term_df",
+        "term_sum_hits",
+        "block_word_off",
+        "block_first_doc",
+        "block_last_doc",
+        "block_count",
+        "block_bits_doc",
+        "block_bits_freq",
+        "block_hits_off",
+        "packed",
+        "positions",
+        "updated_ids",
+    )
+
+    def persist(self, path: str) -> None:
+        """Write segment to a directory, tmp+rename (indexer.cpp:281-300)."""
+        os.makedirs(path, exist_ok=True)
+        from trinity_tpu.index.terms import pack_terms
+
+        arrays = {name: getattr(self, name) for name in self._ARRAYS}
+        if self.payloads is not None:
+            arrays["payloads"] = self.payloads
+        tdata, tidx = pack_terms(self.terms)
+        arrays["terms_data"] = tdata
+        arrays["terms_idx"] = tidx
+        tmp = os.path.join(path, "index.npz.t")
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(path, "index.npz"))
+        manifest = {
+            "version": FORMAT_VERSION,
+            "codec": CODEC_NAME,
+            "stats": self.stats.to_dict(),
+            "max_position": self.max_position,
+            "n_docs": self.n_docs,
+            "n_terms": self.n_terms,
+            "has_payloads": self.payloads is not None,
+        }
+        tmp = os.path.join(path, "id.t")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(path, "id"))
+
+    @classmethod
+    def load(cls, path: str) -> "SegmentData":
+        with open(os.path.join(path, "id")) as f:
+            manifest = json.load(f)
+        if manifest["codec"] != CODEC_NAME:
+            raise ValueError(f"unknown codec {manifest['codec']!r}")
+        z = np.load(os.path.join(path, "index.npz"))
+        from trinity_tpu.index.terms import unpack_terms
+
+        kw = {name: z[name] for name in cls._ARRAYS}
+        kw["payloads"] = z["payloads"] if manifest["has_payloads"] else None
+        kw["terms"] = unpack_terms(z["terms_data"], z["terms_idx"])
+        return cls(
+            stats=FieldStatistics.from_dict(manifest["stats"]),
+            max_position=manifest["max_position"],
+            **kw,
+        )
+
+
+def decode_block(seg: SegmentData, b: int):
+    """Host-side reference decode of one block -> (local docids, freqs).
+
+    The numpy oracle for the Pallas kernel in ops/unpack.py; semantics of
+    lucene Decoder::unpack_next_block (lucene_codec.cpp:568-594).
+    """
+    from trinity_tpu.utils.bitpack import unpack_planes
+
+    off = int(seg.block_word_off[b])
+    cnt = int(seg.block_count[b])
+    bd = int(seg.block_bits_doc[b])
+    bf = int(seg.block_bits_freq[b])
+    dw = bd * (BLOCK_SIZE // 32)
+    deltas = unpack_planes(seg.packed[off : off + dw], bd, cnt)
+    docs = seg.block_first_doc[b] + np.cumsum(deltas, dtype=np.uint64)
+    freqs = unpack_planes(seg.packed[off + dw : off + dw + bf * 4], bf, cnt) + 1
+    return docs.astype(np.uint32), freqs.astype(np.uint32)
+
+
+def term_postings(seg: SegmentData, tid: int):
+    """All postings of a term -> (local docids, freqs). Host-side oracle."""
+    s, n = int(seg.term_block_start[tid]), int(seg.term_nblocks[tid])
+    if n == 0:
+        return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    parts = [decode_block(seg, b) for b in range(s, s + n)]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+    )
+
+
+def term_positions(seg: SegmentData, tid: int, local_doc: int) -> np.ndarray:
+    """Positions of a (term, doc) pair (materialize_hits analog,
+    lucene_codec.cpp:767-856)."""
+    s, n = int(seg.term_block_start[tid]), int(seg.term_nblocks[tid])
+    for b in range(s, s + n):
+        docs, freqs = decode_block(seg, b)
+        idx = np.searchsorted(docs, local_doc)
+        if idx < len(docs) and docs[idx] == local_doc:
+            off = int(seg.block_hits_off[b]) + int(freqs[:idx].sum())
+            return seg.positions[off : off + int(freqs[idx])]
+    return np.zeros(0, np.uint16)
