@@ -97,7 +97,7 @@ def test_persist_load_roundtrip(built, tmp_path):
     seg, _ = built
     seg.persist(str(tmp_path / "seg"))
     seg2 = SegmentData.load(str(tmp_path / "seg"))
-    np.testing.assert_array_equal(seg.packed, seg2.packed)
+    np.testing.assert_array_equal(seg.planes, seg2.planes)
     np.testing.assert_array_equal(seg.doc_map, seg2.doc_map)
     np.testing.assert_array_equal(seg.positions, seg2.positions)
     assert seg.terms == seg2.terms

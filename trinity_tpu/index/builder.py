@@ -20,9 +20,8 @@ from trinity_tpu.limits import (
     MAX_FREQ_BITS,
     MAX_POSITION,
     MAX_TERM_LENGTH,
-    PLANE_WORDS,
 )
-from trinity_tpu.utils.bitpack import bit_width, pack_planes
+from trinity_tpu.utils.bitpack import bit_width, pack_plane_matrix, plane_rows
 
 
 class DocumentProxy:
@@ -176,7 +175,7 @@ def _build_segment(
         term_block_start[1:] = np.cumsum(term_nblocks[:-1])
     n_blocks = int(term_nblocks.sum())
 
-    block_word_off = np.zeros(n_blocks, np.uint32)
+    block_plane_off = np.zeros(n_blocks, np.uint32)
     block_first_doc = np.zeros(n_blocks, np.uint32)
     block_last_doc = np.zeros(n_blocks, np.uint32)
     block_count = np.zeros(n_blocks, np.int32)
@@ -184,8 +183,8 @@ def _build_segment(
     block_bits_freq = np.zeros(n_blocks, np.uint8)
     block_hits_off = np.zeros(n_blocks, np.uint32)
 
-    packed_parts = []
-    word_off = 0
+    plane_parts = []
+    plane_off = 0
     term_posting_start = np.searchsorted(p_tid, np.arange(n_terms))
     if n_postings and int(p_freq.max()) > (1 << MAX_FREQ_BITS):
         raise ValueError("per-document term frequency exceeds 2^16")
@@ -204,20 +203,23 @@ def _build_segment(
             bd = bit_width(int(deltas.max(initial=0)))
             f1 = (freqs - 1).astype(np.uint32)
             bf = bit_width(int(f1.max(initial=0)))
-            packed_parts.append(pack_planes(deltas, bd))
-            packed_parts.append(pack_planes(f1, bf))
-            block_word_off[b] = word_off
+            plane_parts.append(plane_rows(deltas, bd))
+            plane_parts.append(plane_rows(f1, bf))
+            block_plane_off[b] = plane_off
             block_first_doc[b] = docs[0]
             block_last_doc[b] = docs[-1]
             block_count[b] = len(docs)
             block_bits_doc[b] = bd
             block_bits_freq[b] = bf
             block_hits_off[b] = p_start[off]
-            word_off += (bd + bf) * PLANE_WORDS
+            plane_off += bd + bf
 
-    packed = (
-        np.concatenate(packed_parts) if packed_parts else np.zeros(0, np.uint32)
+    all_rows = (
+        np.concatenate(plane_parts)
+        if plane_parts
+        else np.zeros((0, BLOCK_SIZE), np.uint32)
     )
+    planes = pack_plane_matrix(all_rows)
 
     stats = FieldStatistics(
         sum_term_hits=int(total),
@@ -232,14 +234,14 @@ def _build_segment(
         term_nblocks=term_nblocks.astype(np.uint32),
         term_df=term_df,
         term_sum_hits=term_sum_hits.astype(np.uint32),
-        block_word_off=block_word_off,
+        block_plane_off=block_plane_off,
         block_first_doc=block_first_doc,
         block_last_doc=block_last_doc,
         block_count=block_count,
         block_bits_doc=block_bits_doc,
         block_bits_freq=block_bits_freq,
         block_hits_off=block_hits_off,
-        packed=packed,
+        planes=planes,
         positions=pos_a.astype(np.uint16),
         payloads=pay_a if pay_a is not None else None,
         updated_ids=updated,

@@ -9,10 +9,12 @@ address everything with static shapes:
   application doc ids (the analog of IndexSource::translate_docid,
   index_source.h:100-114).
 - each term's postings are split into blocks of <= 128 docs, bit-plane
-  packed (utils/bitpack.py). Per-block skip metadata plays the role of the
-  lucene skiplist entry {indexOffset, lastDocID, totalHitsSoFar, ...}
-  (lucene_codec.h:128-139) — but lives in flat arrays, searchable with
-  vectorized searchsorted instead of branchy binary search
+  packed into the segment-global transposed plane matrix (utils/bitpack.py:
+  (ceil(P/32), 128) u32 rows, 32 plane rows per word) so device decode is
+  row-aligned DMA + sublane reductions. Per-block skip metadata plays the
+  role of the lucene skiplist entry {indexOffset, lastDocID,
+  totalHitsSoFar, ...} (lucene_codec.h:128-139) — but lives in flat arrays,
+  searchable with vectorized searchsorted instead of branchy binary search
   (lucene_codec.cpp:596-656).
 - positions ("hits") are a flat stream addressed by block_hits_off +
   in-block freq prefix sums — the same addressing scheme the reference's
@@ -73,7 +75,7 @@ class SegmentData:
     term_df: np.ndarray  # u32 [n_terms] document frequency
     term_sum_hits: np.ndarray  # u32 [n_terms] total freq over docs
     # per-block skip metadata
-    block_word_off: np.ndarray  # u32 [n_blocks] offset into packed
+    block_plane_off: np.ndarray  # u32 [n_blocks] first plane row in `planes`
     block_first_doc: np.ndarray  # u32 [n_blocks] local docid of first posting
     block_last_doc: np.ndarray  # u32 [n_blocks] local docid of last posting
     block_count: np.ndarray  # i32 [n_blocks] postings in block (<= 128)
@@ -81,7 +83,7 @@ class SegmentData:
     block_bits_freq: np.ndarray  # u8 [n_blocks]
     block_hits_off: np.ndarray  # u32 [n_blocks] offset into positions
     # payload streams
-    packed: np.ndarray  # u32 [total_words] bit planes
+    planes: np.ndarray  # u32 [R, 128] packed plane matrix (bitpack.py)
     positions: np.ndarray  # u16 [total_hits]
     payloads: np.ndarray | None  # u64 [total_hits] or None
     # masking & stats
@@ -120,14 +122,14 @@ class SegmentData:
         "term_nblocks",
         "term_df",
         "term_sum_hits",
-        "block_word_off",
+        "block_plane_off",
         "block_first_doc",
         "block_last_doc",
         "block_count",
         "block_bits_doc",
         "block_bits_freq",
         "block_hits_off",
-        "packed",
+        "planes",
         "positions",
         "updated_ids",
     )
@@ -190,16 +192,17 @@ def decode_block(seg: SegmentData, b: int):
     The numpy oracle for the Pallas kernel in ops/unpack.py; semantics of
     lucene Decoder::unpack_next_block (lucene_codec.cpp:568-594).
     """
-    from trinity_tpu.utils.bitpack import unpack_planes
+    from trinity_tpu.utils.bitpack import unpack_plane_rows, values_from_planes
 
-    off = int(seg.block_word_off[b])
+    off = int(seg.block_plane_off[b])
     cnt = int(seg.block_count[b])
     bd = int(seg.block_bits_doc[b])
     bf = int(seg.block_bits_freq[b])
-    dw = bd * (BLOCK_SIZE // 32)
-    deltas = unpack_planes(seg.packed[off : off + dw], bd, cnt)
+    deltas = values_from_planes(unpack_plane_rows(seg.planes, off, bd), cnt)
     docs = seg.block_first_doc[b] + np.cumsum(deltas, dtype=np.uint64)
-    freqs = unpack_planes(seg.packed[off + dw : off + dw + bf * 4], bf, cnt) + 1
+    freqs = (
+        values_from_planes(unpack_plane_rows(seg.planes, off + bd, bf), cnt) + 1
+    )
     return docs.astype(np.uint32), freqs.astype(np.uint32)
 
 

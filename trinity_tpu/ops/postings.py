@@ -1,0 +1,263 @@
+"""Stage-1 Pallas kernel: materialize dense per-(window, term) frequency tiles.
+
+This kernel replaces the entire iterator machinery of the reference's hot
+path — Decoder::next/advance block decode + skiplist seeks
+(lucene_codec.cpp:568-765), DocsSetSpan window drains
+(docset_spans.cpp:98-173) and the per-doc heap traffic of
+docset_iterators.cpp — with dense tiled compute:
+
+For each (window, term) grid cell it
+1. DMAs the cell's block metadata rows (HBM -> SMEM) and its packed
+   plane-matrix rows (HBM -> VMEM, 32-row chunks; see utils/bitpack.py for
+   the transposed layout chosen so this DMA is row-aligned);
+2. per block: expands bits with one broadcast-shift over sublanes, reduces
+   doc-delta and freq planes with runtime-masked weight vectors, and
+   prefix-sums deltas into docids (the decode);
+3. scatters (docid, freq) into the window's 128x128 tile with a two-level
+   one-hot **MXU matmul**: A'[h,p] = (docid_hi == h), B'[l,p] = freq *
+   (docid_lo == l), tile += A' @ B'^T — one 128^3 f32 matmul scatters a
+   whole block. f32 is exact here: freqs < 2^16 summed over <= 128 lanes
+   stay far below 2^24.
+
+The tile layout is docid-major: tile[h, l] corresponds to local docid
+window*16384 + h*128 + l, so a row-major flatten preserves docid order —
+which makes downstream top-k tie-breaking (lowest index wins) equal to the
+spec's docid-ascending rule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trinity_tpu.limits import TILE, WINDOW_SIZE
+
+# Hard bounds for one (window, term) cell. A window holds 16384 docids, so at
+# most 128 full blocks + boundary partials can overlap it (middle blocks are
+# fully contained). Plane rows per cell <= MAXB * 48.
+MAXB = 136  # max blocks per cell (>= 131), multiple of 8
+MAXROWS = 208  # max packed word-rows per cell (>= ceil(131*48/32)+2)
+ROW_CHUNK = 32  # plane rows per DMA chunk (16 KiB)
+# bmeta columns. Metadata of 16 blocks is packed per 128-lane row (block b ->
+# row b//16, lanes (b%16)*8 + col) so cell DMAs slice full rows — Mosaic
+# requires last-dim slices to be 128-aligned.
+C_POFF, C_BD, C_BF, C_FIRST, C_COUNT, C_HITS, C_LAST, C_PAD = range(8)
+META_COLS = 8
+META_PER_ROW = 16  # blocks per bmeta row
+META_ROWS = MAXB // META_PER_ROW + 2  # rows DMA'd per cell (covers offset)
+
+
+def _expand_bits(words_u32: jnp.ndarray) -> jnp.ndarray:
+    """(R, 128) u32 -> (R*32, 128) i32 bits; plane row 32*r+j from word row r."""
+    r, lanes = words_u32.shape
+    w = words_u32.astype(jnp.int32)
+    t = jax.lax.broadcasted_iota(jnp.int32, (r, 32, lanes), 1)
+    bits = (jax.lax.shift_right_logical(w[:, None, :], t)) & 1
+    return bits.reshape(r * 32, lanes)
+
+
+def _prefix_sum_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the 128-lane axis of a (1, 128) i32 vector."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        x = x + jnp.where(lane >= s, pltpu.roll(x, s, axis=1), 0)
+    return x
+
+
+def _freq_tiles_kernel(
+    # scalar prefetch
+    cell_start_ref,  # SMEM (W, T) i32
+    cell_nblocks_ref,  # SMEM (W, T) i32
+    # inputs
+    bmeta_ref,  # ANY/HBM (n_meta_rows, 128) i32 — 16 blocks per row
+    planes_ref,  # ANY/HBM (R_pad, 128) u32
+    # output
+    out_ref,  # VMEM (1, 1, 128, 128) f32
+    # scratch
+    meta_s,  # SMEM (META_ROWS, 128) i32
+    rows_s,  # VMEM (MAXROWS + 40, 128) u32
+    sems,  # DMA semaphores (2,)
+):
+    w = pl.program_id(0)
+    t = pl.program_id(1)
+    n = cell_nblocks_ref[w, t]
+    wbase = w * WINDOW_SIZE
+
+    out_ref[0, 0, :, :] = jnp.zeros((TILE, TILE), jnp.float32)
+
+    @pl.when(n > 0)
+    def _():
+        b0 = cell_start_ref[w, t]
+        mr0 = b0 // META_PER_ROW
+        mcp = pltpu.make_async_copy(
+            bmeta_ref.at[pl.ds(mr0, META_ROWS), :], meta_s, sems.at[0]
+        )
+        mcp.start()
+        mcp.wait()
+
+        def meta(j, col):
+            idx = b0 + j
+            return meta_s[idx // META_PER_ROW - mr0, (idx % META_PER_ROW) * META_COLS + col]
+
+        p_first = meta(0, C_POFF)
+        p_end = meta(n - 1, C_POFF) + meta(n - 1, C_BD) + meta(n - 1, C_BF)
+        r0 = p_first // 32
+        nrows = p_end // 32 - r0 + 1
+        nchunks = pl.cdiv(nrows, ROW_CHUNK)
+
+        def dma_chunk(i, _):
+            cp = pltpu.make_async_copy(
+                planes_ref.at[pl.ds(r0 + i * ROW_CHUNK, ROW_CHUNK), :],
+                rows_s.at[pl.ds(i * ROW_CHUNK, ROW_CHUNK), :],
+                sems.at[1],
+            )
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, dma_chunk, 0)
+
+        lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+        iota_col = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+        u = jax.lax.broadcasted_iota(jnp.int32, (3 * 32, TILE), 0)
+
+        def block_body(j, acc):
+            poff = meta(j, C_POFF)
+            bd = meta(j, C_BD)
+            bf = meta(j, C_BF)
+            first = meta(j, C_FIRST)
+            count = meta(j, C_COUNT)
+
+            local_r = poff // 32 - r0
+            words = rows_s[pl.ds(local_r, 3), :]  # (3, 128) u32
+            bits = _expand_bits(words)  # (96, 128)
+            q = poff % 32
+            wd = jnp.where(
+                (u >= q) & (u < q + bd), 1 << jnp.clip(u - q, 0, 31), 0
+            )
+            wf = jnp.where(
+                (u >= q + bd) & (u < q + bd + bf),
+                1 << jnp.clip(u - q - bd, 0, 31),
+                0,
+            )
+            deltas = jnp.sum(bits * wd, axis=0, keepdims=True)  # (1,128)
+            f1 = jnp.sum(bits * wf, axis=0, keepdims=True)  # (1,128) freq-1
+            docs = first + _prefix_sum_lanes(deltas)  # (1,128) local docids
+            valid = (
+                (lanes1 < count) & (docs >= wbase) & (docs < wbase + WINDOW_SIZE)
+            )
+            local = docs - wbase
+            hi = local >> 7  # (1,128)
+            lo = local & 127
+            # A'[h, p] = valid & (hi[p] == h); B'[l, p] = freq[p] * (lo[p] == l)
+            a = ((hi == iota_col) & valid).astype(jnp.float32)
+            b = jnp.where(lo == iota_col, (f1 + 1).astype(jnp.float32), 0.0)
+            return acc + jax.lax.dot_general(
+                a,
+                b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = jax.lax.fori_loop(
+            0, n, block_body, jnp.zeros((TILE, TILE), jnp.float32)
+        )
+        out_ref[0, 0, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_windows", "n_terms", "interpret"))
+def materialize_freq_tiles(
+    bmeta: jnp.ndarray,  # (n_blocks_pad, 8) i32, padded by >= MAXB rows
+    planes: jnp.ndarray,  # (R_pad, 128) u32, padded by >= MAXROWS + 8 rows
+    cell_start: jnp.ndarray,  # (W, T) i32
+    cell_nblocks: jnp.ndarray,  # (W, T) i32
+    *,
+    n_windows: int,
+    n_terms: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns f32[W, T, 128, 128] frequency tiles (0 = term absent)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_windows, n_terms),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TILE, TILE), lambda w, t, *_: (w, t, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
+            pltpu.VMEM((MAXROWS + 40, TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _freq_tiles_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_windows, n_terms, TILE, TILE), jnp.float32
+        ),
+        interpret=interpret,
+    )(cell_start, cell_nblocks, bmeta, planes)
+
+
+# ------------------------------------------------------------ host helpers
+def pack_block_meta(seg) -> np.ndarray:
+    """SegmentData block arrays -> (rows, 128) i32 device meta, 16 blocks per
+    128-lane row (block b at row b//16, lanes (b%16)*8..+8)."""
+    n = len(seg.block_plane_off)
+    # generous padding: the last cell's DMA reads META_ROWS rows from
+    # floor(b0/16) — cover b0 = n-1 plus alignment slack
+    rows = -(-(n + MAXB) // META_PER_ROW) + META_ROWS
+    m = np.zeros((rows * META_PER_ROW, META_COLS), np.int32)
+    m[:n, C_POFF] = seg.block_plane_off
+    m[:n, C_BD] = seg.block_bits_doc
+    m[:n, C_BF] = seg.block_bits_freq
+    m[:n, C_FIRST] = seg.block_first_doc
+    m[:n, C_COUNT] = seg.block_count
+    m[:n, C_HITS] = seg.block_hits_off
+    m[:n, C_LAST] = seg.block_last_doc
+    return m.reshape(rows, META_PER_ROW * META_COLS)
+
+
+def pad_planes(planes: np.ndarray) -> np.ndarray:
+    """Pad the packed plane matrix so chunked cell DMAs stay in bounds."""
+    pad = MAXROWS + 48
+    return np.vstack([planes, np.zeros((pad, planes.shape[1]), planes.dtype)])
+
+
+def compute_cells(seg, term_ids) -> tuple:
+    """Per-(window, term) block ranges via vectorized skip-array search —
+    the TPU analog of skiplist seeking (lucene_codec.cpp:596-656).
+
+    term_ids: list of segment term ids (-1 for unknown terms -> empty cells).
+    Returns (cell_start, cell_nblocks) i32[W, T].
+    """
+    W = seg.n_windows
+    T = len(term_ids)
+    cell_start = np.zeros((W, T), np.int32)
+    cell_nblocks = np.zeros((W, T), np.int32)
+    bounds = np.arange(W + 1, dtype=np.int64) * WINDOW_SIZE
+    for ti, tid in enumerate(term_ids):
+        if tid < 0:
+            continue
+        s = int(seg.term_block_start[tid])
+        nb = int(seg.term_nblocks[tid])
+        if nb == 0:
+            continue
+        lb = seg.block_last_doc[s : s + nb]
+        fb = seg.block_first_doc[s : s + nb]
+        starts = np.searchsorted(lb, bounds[:-1], side="left")
+        ends = np.searchsorted(fb, bounds[1:], side="left")
+        nbl = np.maximum(ends - starts, 0)
+        assert nbl.max(initial=0) <= MAXB, "cell block bound exceeded"
+        cell_start[:, ti] = s + starts
+        cell_nblocks[:, ti] = nbl
+    return cell_start, cell_nblocks

@@ -23,7 +23,6 @@ real engine) so disagreements implicate the engine, not a common bug.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -83,70 +82,20 @@ def phrase_freq(doc: Dict[str, List[int]], terms: List[str]) -> int:
 
 
 class Scorer:
-    """Per-(term-or-phrase) weight + per-doc score (similarity.h:22-41)."""
+    """Per-(term-or-phrase) weight + per-doc score (similarity.h:22-41),
+    delegating the actual formulas to the shared spec in
+    trinity_tpu/models/similarity.py so oracle and engine cannot diverge."""
+
+    def __init__(self, corpus: OracleCorpus, model):
+        self.corpus = corpus
+        self.model = model
 
     def weight(self, terms: List[str]) -> float:
-        raise NotImplementedError
+        dfs = [self.corpus.doc_freq(t) for t in terms]
+        return self.model.weight(dfs, self.corpus.docs_cnt)
 
     def score(self, freq: int, weight: float) -> np.float32:
-        raise NotImplementedError
-
-
-class TrivialScorer(Scorer):
-    """similarity.h:56-72."""
-
-    def __init__(self, corpus=None):
-        pass
-
-    def weight(self, terms):
-        return 0.0
-
-    def score(self, freq, weight):
-        return np.float32(freq)
-
-
-class TFIDFScorer(Scorer):
-    """similarity.h:75-163."""
-
-    def __init__(self, corpus: OracleCorpus):
-        self.corpus = corpus
-
-    def weight(self, terms):
-        n = self.corpus.docs_cnt
-        w = 0.0
-        for t in terms:
-            df = self.corpus.doc_freq(t)
-            w += math.log((n + 1) / float(df + 1)) + 1.0
-        return w
-
-    def score(self, freq, weight):
-        return np.float32(np.float32(math.sqrt(freq)) * np.float32(weight))
-
-
-class BM25Scorer(Scorer):
-    """similarity.h:165-255. k1=1.2, b=0.75; norm fixed at k1 (the reference
-    uses `const auto norm{k1}` — no length normalization, similarity.h:230)."""
-
-    K1 = 1.2
-
-    def __init__(self, corpus: OracleCorpus):
-        self.corpus = corpus
-
-    def weight(self, terms):
-        n = self.corpus.docs_cnt
-        idf = 0.0
-        for t in terms:
-            df = self.corpus.doc_freq(t)
-            idf += math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-        return idf
-
-    def score(self, freq, weight):
-        return np.float32(
-            np.float32(weight) * np.float32(freq) / np.float32(freq + self.K1)
-        )
-
-
-SCORERS = {"bm25": BM25Scorer, "tfidf": TFIDFScorer, "trivial": TrivialScorer}
+        return np.float32(self.model.host_score(freq, np.float32(weight)))
 
 
 def _eval(
@@ -215,7 +164,9 @@ def oracle_search(
     """Exact ranked top-k: [(doc_id, score)] by (score desc, doc id asc)."""
     if root is None:
         return []
-    sc = SCORERS[scorer](corpus)
+    from trinity_tpu.models.similarity import SIMILARITIES
+
+    sc = Scorer(corpus, SIMILARITIES[scorer])
     weights: dict = {}
     out = []
     for doc_id in sorted(corpus.docs):
@@ -234,7 +185,9 @@ def oracle_match_ids(
     """DocumentsOnly mode (exec.h:23): matching doc ids ascending."""
     if root is None:
         return []
-    sc = TrivialScorer()
+    from trinity_tpu.models.similarity import SIMILARITIES
+
+    sc = Scorer(corpus, SIMILARITIES["trivial"])
     weights: dict = {}
     return [
         doc_id
