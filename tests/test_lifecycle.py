@@ -1,0 +1,179 @@
+"""Multi-segment sessions, generation masking, merge/compaction
+(index_source.cpp, merge.cpp semantics)."""
+
+import numpy as np
+import pytest
+
+from trinity_tpu.index.builder import SegmentIndexSession
+from trinity_tpu.index.format import term_postings
+from trinity_tpu.index.merge import MergeCandidatesCollection, Retention
+from trinity_tpu.index.source import IndexSource, IndexSourcesCollection
+from trinity_tpu.oracle import OracleCorpus, oracle_search
+from trinity_tpu.query.parser import parse_query
+
+
+def index_docs(docs: dict):
+    sess = SegmentIndexSession()
+    for doc_id, text in docs.items():
+        p = sess.begin(doc_id)
+        for pos, t in enumerate(text.split(), start=1):
+            p.insert(t, pos)
+        sess.insert(p)
+    return sess
+
+
+GEN1 = {
+    1: "apple iphone case",
+    2: "samsung galaxy phone",
+    3: "apple macbook pro",
+    4: "old apple newton device",
+}
+GEN2_UPDATES = {4: "refurbished apple newton message pad"}
+GEN2_NEW = {10: "apple vision pro headset"}
+GEN2_ERASED = [2]
+
+
+def build_collection():
+    c = IndexSourcesCollection()
+    c.add_segment(index_docs(GEN1).commit(), generation=100)
+    s2 = index_docs(GEN2_NEW)
+    for doc_id, text in GEN2_UPDATES.items():
+        p = s2.begin(doc_id)
+        for pos, t in enumerate(text.split(), start=1):
+            p.insert(t, pos)
+        s2.update(p)
+    for doc_id in GEN2_ERASED:
+        s2.erase(doc_id)
+    c.add_segment(s2.commit(), generation=200)
+    return c.commit()
+
+
+def expected_corpus():
+    corpus = OracleCorpus()
+    live = dict(GEN1)
+    live.pop(2)  # erased
+    live.update(GEN2_UPDATES)
+    live.update(GEN2_NEW)
+    for doc_id, text in live.items():
+        corpus.add(doc_id, text.split())
+    return corpus
+
+
+@pytest.mark.parametrize(
+    "qtext", ["apple", "apple pro", "galaxy", "newton", "apple OR samsung"]
+)
+def test_collection_masks_old_generations(qtext):
+    c = build_collection()
+    corpus = expected_corpus()
+    q = parse_query(qtext)
+    got = c.search(q, k=10)
+    # the reference aggregates df/docsCnt over raw segments, ignoring masking
+    want = oracle_search(
+        corpus, q.root, k=10,
+        docs_cnt=c.aggregated_stats().docs_cnt, df_of=c.doc_freq,
+    )
+    assert [r.doc_id for r in got] == [d for d, _ in want], qtext
+    np.testing.assert_allclose(
+        [r.score for r in got], [s for _, s in want], rtol=2e-6, atol=1e-7
+    )
+
+
+def test_collection_match_ids():
+    c = build_collection()
+    ids = c.match_ids("apple")
+    assert list(ids) == [1, 3, 4, 10]  # doc 2 erased has no apple anyway
+    assert list(c.match_ids("galaxy")) == []  # doc 2 erased
+
+
+def test_collection_persist_load(tmp_path):
+    c = build_collection()
+    c.persist(str(tmp_path))
+    c2 = IndexSourcesCollection.load(str(tmp_path))
+    got = [r.doc_id for r in c2.search("apple", k=10)]
+    want = [r.doc_id for r in c.search("apple", k=10)]
+    assert got == want
+
+
+def test_merge_matches_collection():
+    """Merged segment must produce identical results to the masked
+    multi-segment collection (merge.cpp:40-416 semantics)."""
+    c = build_collection()
+    mc = MergeCandidatesCollection()
+    for src in c.sources:
+        mc.add_source(src)
+    merged = mc.merge(keep_updated_ids=False)
+
+    corpus = expected_corpus()
+    assert merged.n_docs == corpus.docs_cnt
+    single = IndexSourcesCollection().add_segment(merged, generation=300).commit()
+    for qtext in ["apple", "newton", "apple OR samsung", "pro -macbook"]:
+        q = parse_query(qtext)
+        got = single.search(q, k=10)
+        want = oracle_search(corpus, q.root, k=10)
+        assert [r.doc_id for r in got] == [d for d, _ in want], qtext
+
+
+def test_merge_positions_preserved():
+    c = build_collection()
+    mc = MergeCandidatesCollection()
+    for src in c.sources:
+        mc.add_source(src)
+    merged = mc.merge()
+    from trinity_tpu.index.format import term_positions
+
+    tid = merged.term_id("newton")
+    local = int(np.searchsorted(merged.doc_map, 4))
+    # doc 4's live version: "refurbished apple newton message pad" -> pos 3
+    assert list(term_positions(merged, tid, local)) == [3]
+
+
+def test_merge_updated_ids_union():
+    c = build_collection()
+    mc = MergeCandidatesCollection()
+    for src in c.sources:
+        mc.add_source(src)
+    merged = mc.merge(keep_updated_ids=True)
+    np.testing.assert_array_equal(merged.updated_ids, np.array([2, 4], np.uint32))
+
+
+def test_retention_plan():
+    mc = MergeCandidatesCollection()
+    c = build_collection()
+    for src in c.sources:
+        mc.add_source(src)
+    mc.commit()
+    plan = mc.retention_plan([200])
+    assert plan[200] == Retention.DELETE
+    # gen 100 is older than the newest merged gen but its content was not
+    # merged away and it carries no updates -> keep as-is
+    assert plan[100] == Retention.RETAIN_ALL
+
+
+def test_merge_multiblock_roundtrip():
+    """Merge two larger random segments and verify postings integrity."""
+    rng = np.random.default_rng(3)
+    docs_a = {
+        i: " ".join(f"w{int(x)}" for x in rng.integers(0, 30, 12))
+        for i in range(0, 400, 2)
+    }
+    docs_b = {
+        i: " ".join(f"w{int(x)}" for x in rng.integers(0, 30, 12))
+        for i in range(1, 400, 2)
+    }
+    mc = MergeCandidatesCollection()
+    mc.insert(index_docs(docs_a).commit(), generation=1)
+    mc.insert(index_docs(docs_b).commit(), generation=2)
+    merged = mc.merge()
+    all_docs = {**docs_a, **docs_b}
+    assert merged.n_docs == 400
+    # spot-check a few terms against a naive posting build
+    for term in ["w0", "w7", "w29"]:
+        tid = merged.term_id(term)
+        d, f = term_postings(merged, tid)
+        expect = [
+            (np.searchsorted(merged.doc_map, doc_id), text.split().count(term))
+            for doc_id, text in sorted(all_docs.items())
+            if term in text.split()
+        ]
+        np.testing.assert_array_equal(d, [e[0] for e in expect])
+        np.testing.assert_array_equal(f, [e[1] for e in expect])

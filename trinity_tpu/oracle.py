@@ -84,15 +84,22 @@ def phrase_freq(doc: Dict[str, List[int]], terms: List[str]) -> int:
 class Scorer:
     """Per-(term-or-phrase) weight + per-doc score (similarity.h:22-41),
     delegating the actual formulas to the shared spec in
-    trinity_tpu/models/similarity.py so oracle and engine cannot diverge."""
+    trinity_tpu/models/similarity.py so oracle and engine cannot diverge.
 
-    def __init__(self, corpus: OracleCorpus, model):
+    docs_cnt/df_of overrides mirror the reference's convention that field
+    statistics and document frequencies are aggregated over *raw* segments,
+    ignoring generation masking (similarity.h:209-217 sums
+    resolve_term_ctx(term).documents per source as-is)."""
+
+    def __init__(self, corpus: OracleCorpus, model, docs_cnt=None, df_of=None):
         self.corpus = corpus
         self.model = model
+        self.docs_cnt = corpus.docs_cnt if docs_cnt is None else docs_cnt
+        self.df_of = df_of or corpus.doc_freq
 
     def weight(self, terms: List[str]) -> float:
-        dfs = [self.corpus.doc_freq(t) for t in terms]
-        return self.model.weight(dfs, self.corpus.docs_cnt)
+        dfs = [self.df_of(t) for t in terms]
+        return self.model.weight(dfs, self.docs_cnt)
 
     def score(self, freq: int, weight: float) -> np.float32:
         return np.float32(self.model.host_score(freq, np.float32(weight)))
@@ -160,13 +167,15 @@ def oracle_search(
     k: int = 10,
     scorer: str = "bm25",
     masked: Optional[set] = None,
+    docs_cnt=None,
+    df_of=None,
 ) -> List[Tuple[int, float]]:
     """Exact ranked top-k: [(doc_id, score)] by (score desc, doc id asc)."""
     if root is None:
         return []
     from trinity_tpu.models.similarity import SIMILARITIES
 
-    sc = Scorer(corpus, SIMILARITIES[scorer])
+    sc = Scorer(corpus, SIMILARITIES[scorer], docs_cnt=docs_cnt, df_of=df_of)
     weights: dict = {}
     out = []
     for doc_id in sorted(corpus.docs):
