@@ -1,0 +1,100 @@
+"""Phrase + proximity parity vs oracle (docset_iterators.cpp:66-224,
+docwordspace.cpp:3-15 semantics)."""
+
+import numpy as np
+import pytest
+
+from trinity_tpu.exec import Executor
+from trinity_tpu.exec.phrases import verify_phrase_candidates
+from trinity_tpu.oracle import OracleCorpus, oracle_match_ids, oracle_search
+from trinity_tpu.query.parser import parse_query
+from tests.test_exec_e2e import ids, make_corpus
+
+
+@pytest.fixture(scope="module")
+def small():
+    rng = np.random.default_rng(23)
+    seg, corpus = make_corpus(
+        rng, n_docs=500, vocab=30, doc_len_rng=(4, 30), id_stride=3
+    )
+    return Executor(seg), corpus
+
+
+PHRASE_QUERIES = [
+    '"t0 t1"',
+    '"t1 t0"',
+    '"t0 t1 t2"',
+    '"t2 t2"',
+    '"t0 t1" OR t5',
+    't3 AND "t0 t2"',
+    '"t0 t1" NOT t2',
+    '"t9 t11"',  # rare combo, maybe empty
+    '"t0 t1" "t1 t2"',  # two phrases AND'ed
+    '[t7, "t0 t1"]',
+    '"ipad"',  # single-term phrase stays a token-equivalent
+]
+
+
+@pytest.mark.parametrize("qtext", PHRASE_QUERIES)
+@pytest.mark.parametrize("scorer", ["bm25", "trivial"])
+def test_phrase_topk_parity(small, qtext, scorer):
+    ex, corpus = small
+    q = parse_query(qtext)
+    got = ex.search(q, k=10, scorer=scorer)
+    want = oracle_search(corpus, q.root, k=10, scorer=scorer)
+    assert ids(got) == [d for d, _ in want], f"{qtext} ids"
+    np.testing.assert_allclose(
+        [r.score for r in got], [s for _, s in want], rtol=2e-6, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("qtext", PHRASE_QUERIES[:6])
+def test_phrase_match_ids(small, qtext):
+    ex, corpus = small
+    q = parse_query(qtext)
+    np.testing.assert_array_equal(
+        ex.match_ids(q), np.array(oracle_match_ids(corpus, q.root), np.uint32)
+    )
+
+
+def test_phrase_exact_positions():
+    """Hand-built corpus with known phrase structure."""
+    from trinity_tpu.index.builder import SegmentIndexSession
+
+    docs = {
+        1: "new york city",
+        2: "york new city",
+        3: "new york new york",
+        4: "the new york times",
+        5: "new and york",
+    }
+    sess = SegmentIndexSession()
+    corpus = OracleCorpus()
+    for d, text in docs.items():
+        toks = text.split()
+        corpus.add(d, toks)
+        p = sess.begin(d)
+        for pos, t in enumerate(toks, start=1):
+            p.insert(t, pos)
+        sess.insert(p)
+    ex = Executor(sess.commit())
+    q = parse_query('"new york"')
+    got = ex.search(q, k=10, scorer="trivial")
+    # doc 3 has the phrase twice -> freq 2 ranks first
+    assert ids(got)[0] == 3
+    assert got[0].score == 2.0
+    assert set(ids(got)) == {1, 3, 4}
+    want = oracle_search(corpus, q.root, k=10, scorer="trivial")
+    assert ids(got) == [d for d, _ in want]
+
+
+def test_verify_phrase_candidates_unit():
+    positions = np.array([1, 5, 9, 2, 6, 3, 7, 30], np.uint16)
+    # candidate 0: member0 at [1,5,9], member1 at [2,6] -> starts 1,5 match
+    freqs = np.array([[3, 2]], np.int32)
+    offs = np.array([[0, 3]], np.int32)
+    valid = np.array([True])
+    out = verify_phrase_candidates(positions, valid, freqs, offs)
+    assert out[0] == 2
+    # invalid candidate contributes 0
+    assert verify_phrase_candidates(positions, np.array([False]), freqs, offs)[0] == 0

@@ -61,12 +61,15 @@ def _lazy_jax():
 # --------------------------------------------------------------------------
 # stage 2: tape evaluation over (W, WINDOW_SIZE) flattened tiles
 # --------------------------------------------------------------------------
-def _eval_tape(tape, freq, weights, scorer_cls, jnp):
+def _eval_tape(tape, freq, weights, scorer_cls, jnp, phrase_tiles=None, _pc=None):
     """freq: f32 (W, T, N). Returns (mask bool (W,N), score f32 (W,N)).
 
     Mirrors oracle._eval semantics exactly: score contributions only from
-    matching subtrees, f32 accumulation in tree order.
+    matching subtrees, f32 accumulation in tree order. phrase_tiles holds
+    verified phrase-frequency tiles (W, N) in collect_phrases order.
     """
+    if _pc is None:
+        _pc = [0]
     kind = tape[0]
     if kind == "tok":
         _, slot, widx = tape
@@ -75,11 +78,16 @@ def _eval_tape(tape, freq, weights, scorer_cls, jnp):
         score = scorer_cls.score_tile(f, weights[widx])
         return mask, jnp.where(mask, score, 0.0)
     if kind == "phrase":
-        raise NotImplementedError("phrase evaluation lands with ops/phrase")
+        _, slots, widx = tape
+        pf = phrase_tiles[_pc[0]]
+        _pc[0] += 1
+        mask = pf > 0
+        score = scorer_cls.score_tile(pf, weights[widx])
+        return mask, jnp.where(mask, score, 0.0)
     if kind in ("and", "or", "not"):
         _, lt, rt = tape
-        lm, ls = _eval_tape(lt, freq, weights, scorer_cls, jnp)
-        rm, rs = _eval_tape(rt, freq, weights, scorer_cls, jnp)
+        lm, ls = _eval_tape(lt, freq, weights, scorer_cls, jnp, phrase_tiles, _pc)
+        rm, rs = _eval_tape(rt, freq, weights, scorer_cls, jnp, phrase_tiles, _pc)
         if kind == "and":
             m = lm & rm
             return m, jnp.where(m, ls + rs, 0.0)
@@ -89,17 +97,17 @@ def _eval_tape(tape, freq, weights, scorer_cls, jnp):
         m = lm & ~rm
         return m, jnp.where(m, ls, 0.0)
     if kind == "unot":
-        cm, _ = _eval_tape(tape[1], freq, weights, scorer_cls, jnp)
+        cm, _ = _eval_tape(tape[1], freq, weights, scorer_cls, jnp, phrase_tiles, _pc)
         return ~cm, jnp.zeros_like(freq[:, 0, :])
     if kind == "opt":
-        cm, cs = _eval_tape(tape[1], freq, weights, scorer_cls, jnp)
+        cm, cs = _eval_tape(tape[1], freq, weights, scorer_cls, jnp, phrase_tiles, _pc)
         return jnp.ones_like(cm) | cm, jnp.where(cm, cs, 0.0)
     if kind == "some":
         _, kmin, children = tape
         cnt = None
         tot = None
         for c in children:
-            cm, cs = _eval_tape(c, freq, weights, scorer_cls, jnp)
+            cm, cs = _eval_tape(c, freq, weights, scorer_cls, jnp, phrase_tiles, _pc)
             ci = cm.astype(jnp.int32)
             cnt = ci if cnt is None else cnt + ci
             tot = cs if tot is None else tot + cs
@@ -150,6 +158,91 @@ def _build_search_fn(tape, scorer_name, W, T, k, interpret, mode):
         return gv, cand_i[gidx]
 
     return jax.jit(run, static_argnames=())
+
+
+@functools.lru_cache(maxsize=256)
+def _build_phrase_pass_a(phrase_slots, W, T, C, interpret):
+    """Device pass A for phrase queries: stage-1 tiles WITH hits offsets +
+    per-phrase candidate compaction. Candidates of a phrase are docs where
+    every member term occurs (the member conjunction the reference leapfrogs
+    in Phrase::next_impl, docset_iterators.cpp:66-150), compacted to the
+    first C docids per window via stable top_k on a descending docid key."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    def run(bmeta, planes, cell_start, cell_nblocks):
+        tiles, offs = materialize_freq_tiles(
+            bmeta,
+            planes,
+            cell_start,
+            cell_nblocks,
+            n_windows=W,
+            n_terms=T,
+            interpret=interpret,
+            with_offsets=True,
+        )
+        freq = tiles.reshape(W, T, WINDOW_SIZE)
+        offv = offs.reshape(W, T, WINDOW_SIZE)
+        iota = jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+        per_phrase = []
+        for slots in phrase_slots:
+            m = freq[:, slots[0], :] > 0
+            for s in slots[1:]:
+                m = m & (freq[:, s, :] > 0)
+            key = jnp.where(m, WINDOW_SIZE - iota, 0)
+            kv, ki = jax.lax.top_k(key, C)  # ascending docid among candidates
+            valid = kv > 0
+            cnt = m.sum(axis=1)
+            pf = jnp.stack(
+                [jnp.take_along_axis(freq[:, s, :], ki, axis=1) for s in slots],
+                axis=-1,
+            ).astype(jnp.int32)
+            po = jnp.stack(
+                [jnp.take_along_axis(offv[:, s, :], ki, axis=1) for s in slots],
+                axis=-1,
+            )
+            per_phrase.append((ki, valid, cnt, pf, po))
+        return freq, per_phrase
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_phrase_pass_c(tape, scorer_name, W, T, k, C, n_phrases, interpret, mode):
+    """Device pass C: tape evaluation with verified phrase-frequency tiles
+    injected as sparse (candidate-id, freq) scatters, then top-k."""
+    jax, jnp = _lazy_jax()
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(freq, phrase_ids, phrase_freqs, weights, n_docs, deleted):
+        rows = jnp.arange(W, dtype=jnp.int32)[:, None]
+        phrase_tiles = []
+        for p in range(n_phrases):
+            tile = jnp.zeros((W, WINDOW_SIZE), jnp.float32)
+            tile = tile.at[rows, phrase_ids[p]].add(phrase_freqs[p])
+            phrase_tiles.append(tile)
+        mask, score = _eval_tape(
+            tape, freq, weights, scorer_cls, jnp, phrase_tiles
+        )
+        gid = (
+            jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
+            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+        )
+        mask = mask & (gid < n_docs)
+        if deleted is not None:
+            mask = mask & ~deleted.reshape(W, WINDOW_SIZE)
+        if mode == "docs":
+            return mask
+        scores = jnp.where(mask, score, NEG_INF)
+        pv, pi = jax.lax.top_k(scores, k)
+        cand_v = pv.reshape(-1)
+        cand_i = (
+            pi + jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
+        ).reshape(-1)
+        gv, gidx = jax.lax.top_k(cand_v, k)
+        return gv, cand_i[gidx]
+
+    return jax.jit(run)
 
 
 class Executor:
@@ -238,24 +331,27 @@ class Executor:
             return []
         plan, cs, cn, weights = prep
         seg = self.seg
-        fn = _build_search_fn(
-            plan.tape,
-            scorer,
-            seg.n_windows,
-            plan.n_slots,
-            k,
-            self.interpret,
-            "search",
-        )
-        gv, gi = fn(
-            self.bmeta,
-            self.planes,
-            cs,
-            cn,
-            weights,
-            np.int32(seg.n_docs),
-            self._deleted,
-        )
+        if plan.has_phrase:
+            gv, gi = self._run_phrase(plan, cs, cn, weights, scorer, k, "search")
+        else:
+            fn = _build_search_fn(
+                plan.tape,
+                scorer,
+                seg.n_windows,
+                plan.n_slots,
+                k,
+                self.interpret,
+                "search",
+            )
+            gv, gi = fn(
+                self.bmeta,
+                self.planes,
+                cs,
+                cn,
+                weights,
+                np.int32(seg.n_docs),
+                self._deleted,
+            )
         gv = np.asarray(gv)
         gi = np.asarray(gi)
         out = []
@@ -272,25 +368,90 @@ class Executor:
             return np.zeros(0, np.uint32)
         plan, cs, cn, weights = prep
         seg = self.seg
-        fn = _build_search_fn(
-            plan.tape,
-            scorer,
-            seg.n_windows,
-            plan.n_slots,
-            0,
-            self.interpret,
-            "docs",
-        )
-        mask = np.asarray(
-            fn(
-                self.bmeta,
-                self.planes,
-                cs,
-                cn,
-                weights,
-                np.int32(seg.n_docs),
-                self._deleted,
+        if plan.has_phrase:
+            mask = np.asarray(
+                self._run_phrase(plan, cs, cn, weights, scorer, 0, "docs")
             )
-        )
+        else:
+            fn = _build_search_fn(
+                plan.tape,
+                scorer,
+                seg.n_windows,
+                plan.n_slots,
+                0,
+                self.interpret,
+                "docs",
+            )
+            mask = np.asarray(
+                fn(
+                    self.bmeta,
+                    self.planes,
+                    cs,
+                    cn,
+                    weights,
+                    np.int32(seg.n_docs),
+                    self._deleted,
+                )
+            )
         local = np.flatnonzero(mask.reshape(-1))
         return seg.doc_map[local]
+
+    # ------------------------------------------------------- phrase path
+    def _run_phrase(self, plan, cs, cn, weights, scorer, k, mode):
+        """Three-pass phrase execution: device candidate extraction (pass A),
+        host position verification (pass B, exec/phrases.py), device tape
+        eval + top-k with injected phrase tiles (pass C)."""
+        from trinity_tpu.exec.phrases import (
+            collect_phrases,
+            verify_phrase_candidates,
+        )
+
+        jax, jnp = _lazy_jax()
+        seg = self.seg
+        W = seg.n_windows
+        phrases = collect_phrases(plan.tape)
+        phrase_slots = tuple(slots for slots, _ in phrases)
+        C = min(2048, WINDOW_SIZE)
+        while True:
+            fa = _build_phrase_pass_a(
+                phrase_slots, W, plan.n_slots, C, self.interpret
+            )
+            freq, per_phrase = fa(self.bmeta, self.planes, cs, cn)
+            max_cnt = max(
+                int(np.asarray(cnt).max(initial=0)) for _, _, cnt, _, _ in per_phrase
+            )
+            if max_cnt <= C or C >= WINDOW_SIZE:
+                break
+            C = WINDOW_SIZE if max_cnt > 8192 else 8192  # grow and retry
+
+        phrase_ids = []
+        phrase_freqs = []
+        for slots, (ki, valid, cnt, pf, po) in zip(phrase_slots, per_phrase):
+            kk = len(slots)
+            valid_h = np.asarray(valid).reshape(-1)
+            pf_h = np.asarray(pf).reshape(-1, kk)
+            po_h = np.asarray(po).reshape(-1, kk)
+            pfreq = verify_phrase_candidates(seg.positions, valid_h, pf_h, po_h)
+            vals = pfreq.reshape(W, C).astype(np.float32) * np.asarray(valid)
+            phrase_ids.append(ki)
+            phrase_freqs.append(jnp.asarray(vals))
+
+        fc = _build_phrase_pass_c(
+            plan.tape,
+            scorer,
+            W,
+            plan.n_slots,
+            k,
+            C,
+            len(phrases),
+            self.interpret,
+            mode,
+        )
+        return fc(
+            freq,
+            phrase_ids,
+            phrase_freqs,
+            weights,
+            np.int32(seg.n_docs),
+            self._deleted,
+        )

@@ -69,16 +69,45 @@ def _prefix_sum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _freq_tiles_kernel(
+def _make_kernel(with_offsets: bool):
+    """Kernel factory: with_offsets adds a hits-offset tile output (the
+    device analog of the skiplist's totalHitsSoFar addressing,
+    lucene_codec.h:259-266) so phrase verification can gather each matched
+    posting's position run. Offsets are scattered exactly via two f32
+    matmuls (hi = off >> 12 < 2^19 and lo = off & 4095 are both < 2^24)."""
+
+    def kernel(cell_start_ref, cell_nblocks_ref, bmeta_ref, planes_ref, *rest):
+        if with_offsets:
+            out_ref, off_ref, meta_v, meta_s, rows_s, sems = rest
+        else:
+            (out_ref, meta_v, meta_s, rows_s, sems) = rest
+            off_ref = None
+        _freq_tiles_body(
+            cell_start_ref,
+            cell_nblocks_ref,
+            bmeta_ref,
+            planes_ref,
+            out_ref,
+            off_ref,
+            meta_v,
+            meta_s,
+            rows_s,
+            sems,
+        )
+
+    return kernel
+
+
+def _freq_tiles_body(
     # scalar prefetch
     cell_start_ref,  # SMEM (W, T) i32
     cell_nblocks_ref,  # SMEM (W, T) i32
     # inputs
     bmeta_ref,  # ANY/HBM (n_meta_rows, 128) i32 — 16 blocks per row
     planes_ref,  # ANY/HBM (R_pad, 128) u32
-    # output
-    out_ref,  # VMEM (1, 1, 128, 128) f32
-    # scratch
+    out_ref,  # VMEM (1, 1, 128, 128) f32 — freq tile
+    off_ref,  # VMEM (1, 1, 128, 128) i32 hits-offset tile, or None
+    meta_v,  # VMEM (META_ROWS, 128) i32 — DMA staging for meta
     meta_s,  # SMEM (META_ROWS, 128) i32
     rows_s,  # VMEM (MAXROWS + 40, 128) u32
     sems,  # DMA semaphores (2,)
@@ -89,16 +118,24 @@ def _freq_tiles_kernel(
     wbase = w * WINDOW_SIZE
 
     out_ref[0, 0, :, :] = jnp.zeros((TILE, TILE), jnp.float32)
+    if off_ref is not None:
+        off_ref[0, 0, :, :] = jnp.zeros((TILE, TILE), jnp.int32)
 
     @pl.when(n > 0)
     def _():
         b0 = cell_start_ref[w, t]
         mr0 = b0 // META_PER_ROW
+        # two-hop meta copy: HBM -> VMEM at a dynamic row offset, then
+        # VMEM -> SMEM whole-buffer. A direct dynamic-offset HBM -> SMEM DMA
+        # faults the TPU (observed on v5e; static offsets are fine).
         mcp = pltpu.make_async_copy(
-            bmeta_ref.at[pl.ds(mr0, META_ROWS), :], meta_s, sems.at[0]
+            bmeta_ref.at[pl.ds(mr0, META_ROWS), :], meta_v, sems.at[0]
         )
         mcp.start()
         mcp.wait()
+        scp = pltpu.make_async_copy(meta_v, meta_s, sems.at[0])
+        scp.start()
+        scp.wait()
 
         def meta(j, col):
             idx = b0 + j
@@ -126,7 +163,16 @@ def _freq_tiles_kernel(
         iota_col = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
         u = jax.lax.broadcasted_iota(jnp.int32, (3 * 32, TILE), 0)
 
-        def block_body(j, acc):
+        def nt_scatter(a, vals):
+            """acc[h, l] += sum_p a[h, p] * vals(p)[l, p] via one MXU matmul."""
+            return jax.lax.dot_general(
+                a,
+                vals,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def block_body(j, carry):
             poff = meta(j, C_POFF)
             bd = meta(j, C_BD)
             bf = meta(j, C_BF)
@@ -156,32 +202,60 @@ def _freq_tiles_kernel(
             lo = local & 127
             # A'[h, p] = valid & (hi[p] == h); B'[l, p] = freq[p] * (lo[p] == l)
             a = ((hi == iota_col) & valid).astype(jnp.float32)
-            b = jnp.where(lo == iota_col, (f1 + 1).astype(jnp.float32), 0.0)
-            return acc + jax.lax.dot_general(
-                a,
-                b,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            onehot_lo = lo == iota_col
+            freqs = (f1 + 1).astype(jnp.float32)
+            acc = carry[0] + nt_scatter(a, jnp.where(onehot_lo, freqs, 0.0))
+            if off_ref is None:
+                return (acc,)
+            # per-posting hits offset = block hits base + exclusive freq prefix
+            epf = _prefix_sum_lanes(f1 + 1) - (f1 + 1)
+            off = meta(j, C_HITS) + epf
+            off_hi = (off >> 12).astype(jnp.float32)
+            off_lo = (off & 4095).astype(jnp.float32)
+            acc_hi = carry[1] + nt_scatter(a, jnp.where(onehot_lo, off_hi, 0.0))
+            acc_lo = carry[2] + nt_scatter(a, jnp.where(onehot_lo, off_lo, 0.0))
+            return (acc, acc_hi, acc_lo)
+
+        z = jnp.zeros((TILE, TILE), jnp.float32)
+        init = (z,) if off_ref is None else (z, z, z)
+        carry = jax.lax.fori_loop(0, n, block_body, init)
+        out_ref[0, 0, :, :] = carry[0]
+        if off_ref is not None:
+            off_ref[0, 0, :, :] = (
+                carry[1].astype(jnp.int32) * 4096 + carry[2].astype(jnp.int32)
             )
 
-        acc = jax.lax.fori_loop(
-            0, n, block_body, jnp.zeros((TILE, TILE), jnp.float32)
-        )
-        out_ref[0, 0, :, :] = acc
 
-
-@functools.partial(jax.jit, static_argnames=("n_windows", "n_terms", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_windows", "n_terms", "interpret", "with_offsets"),
+)
 def materialize_freq_tiles(
-    bmeta: jnp.ndarray,  # (n_blocks_pad, 8) i32, padded by >= MAXB rows
-    planes: jnp.ndarray,  # (R_pad, 128) u32, padded by >= MAXROWS + 8 rows
+    bmeta: jnp.ndarray,  # (n_meta_rows, 128) i32 (pack_block_meta)
+    planes: jnp.ndarray,  # (R_pad, 128) u32, padded by >= MAXROWS + 48 rows
     cell_start: jnp.ndarray,  # (W, T) i32
     cell_nblocks: jnp.ndarray,  # (W, T) i32
     *,
     n_windows: int,
     n_terms: int,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Returns f32[W, T, 128, 128] frequency tiles (0 = term absent)."""
+    with_offsets: bool = False,
+):
+    """Returns f32[W, T, 128, 128] frequency tiles (0 = term absent); with
+    with_offsets also returns i32[W, T, 128, 128] hits-offset tiles."""
+    tile_spec = pl.BlockSpec((1, 1, TILE, TILE), lambda w, t, *_: (w, t, 0, 0))
+    tile_shape = jax.ShapeDtypeStruct(
+        (n_windows, n_terms, TILE, TILE), jnp.float32
+    )
+    if with_offsets:
+        out_specs = (tile_spec, tile_spec)
+        out_shape = (
+            tile_shape,
+            jax.ShapeDtypeStruct((n_windows, n_terms, TILE, TILE), jnp.int32),
+        )
+    else:
+        out_specs = tile_spec
+        out_shape = tile_shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_windows, n_terms),
@@ -189,21 +263,18 @@ def materialize_freq_tiles(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, TILE, TILE), lambda w, t, *_: (w, t, 0, 0)
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
+            pltpu.VMEM((META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
             pltpu.SMEM((META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
             pltpu.VMEM((MAXROWS + 40, TILE), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _freq_tiles_kernel,
+        _make_kernel(with_offsets),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_windows, n_terms, TILE, TILE), jnp.float32
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(cell_start, cell_nblocks, bmeta, planes)
 
