@@ -1,0 +1,115 @@
+"""Query rewriting framework (queries_rewrite.h analog)."""
+
+import numpy as np
+
+from trinity_tpu.oracle import OracleCorpus, oracle_match_ids
+from trinity_tpu.query.ast import Phrase, node_to_str
+from trinity_tpu.query.parser import parse_query
+from trinity_tpu.query.rewrite import Alternative, collect_runs, rewrite_query
+
+
+def synonyms(window):
+    table = {
+        ("ipod",): [Alternative(["ipod", "touch"], 0.8)],
+        ("mac",): [Alternative(["macintosh"], 0.9), Alternative(["apple"], 0.5)],
+        ("new", "york"): [Alternative(["nyc"], 0.9)],
+    }
+    return table.get(tuple(window), [])
+
+
+def test_single_token_synonym():
+    q = parse_query("mac")
+    r = rewrite_query(q, synonyms)
+    s = node_to_str(r.root)
+    assert "macintosh" in s and "apple" in s and "mac" in s
+    # semantics: OR of original and alternatives
+    corpus = OracleCorpus()
+    corpus.add(1, ["mac"])
+    corpus.add(2, ["macintosh"])
+    corpus.add(3, ["apple"])
+    corpus.add(4, ["windows"])
+    assert oracle_match_ids(corpus, r.root) == [1, 2, 3]
+
+
+def test_window_merge_alternative():
+    """A 2-token window replaced by one token: [new york] -> nyc."""
+    q = parse_query("new york pizza")
+    r = rewrite_query(q, synonyms)
+    corpus = OracleCorpus()
+    corpus.add(1, ["new", "york", "pizza"])
+    corpus.add(2, ["nyc", "pizza"])
+    corpus.add(3, ["nyc"])  # no pizza -> no match
+    corpus.add(4, ["new", "pizza"])
+    assert oracle_match_ids(corpus, r.root) == [1, 2]
+
+
+def test_expansion_alternative():
+    """One token expands to two: ipod -> ipod touch."""
+    q = parse_query("ipod case")
+    r = rewrite_query(q, synonyms)
+    corpus = OracleCorpus()
+    corpus.add(1, ["ipod", "case"])
+    corpus.add(2, ["ipod", "touch", "case"])
+    corpus.add(3, ["touch", "case"])
+    got = oracle_match_ids(corpus, r.root)
+    assert got == [1, 2]
+
+
+def test_rewrite_ctx_provenance():
+    q = parse_query("new york pizza")
+    r = rewrite_query(q, synonyms)
+
+    found = []
+
+    def walk(n):
+        from trinity_tpu.query.ast import BinOp
+
+        if isinstance(n, Phrase):
+            if n.rewrite_ctx.range is not None:
+                found.append(
+                    (n.terms[0].text, n.rewrite_ctx.range,
+                     n.rewrite_ctx.translation_coefficient,
+                     n.rewrite_ctx.src_seq_size)
+                )
+        elif isinstance(n, BinOp):
+            walk(n.lhs)
+            walk(n.rhs)
+
+    walk(r.root)
+    assert ("nyc", (0, 2), 0.9, 2) in found
+
+
+def test_budget_caps_blowup():
+    def explosive(window):
+        return [Alternative([f"alt{i}-{'-'.join(window)}"]) for i in range(50)]
+
+    q = parse_query("a b c d e f g h")
+    r = rewrite_query(q, explosive, k=3, budget=64)
+    # bounded: well under the unbudgeted size
+    s = node_to_str(r.root)
+    assert s.count("alt") <= 64 + 50  # budget + one final window burst
+
+
+def test_untouched_when_no_alternatives():
+    q = parse_query("plain tokens here")
+    r = rewrite_query(q, lambda w: [])
+    corpus = OracleCorpus()
+    corpus.add(1, ["plain", "tokens", "here"])
+    corpus.add(2, ["plain", "tokens"])
+    assert oracle_match_ids(corpus, r.root) == [1]
+
+
+def test_negations_not_expanded():
+    q = parse_query("mac -ipod")
+    r = rewrite_query(q, synonyms)
+    corpus = OracleCorpus()
+    corpus.add(1, ["macintosh"])
+    corpus.add(2, ["macintosh", "ipod"])
+    assert oracle_match_ids(corpus, r.root) == [1]
+
+
+def test_collect_runs():
+    q = parse_query('alpha beta "a phrase" gamma OR delta')
+    runs = collect_runs(q)
+    texts = [[p.terms[0].text for p in run] for run in runs]
+    assert ["alpha", "beta"] in texts

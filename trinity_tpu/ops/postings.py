@@ -49,7 +49,10 @@ ROW_CHUNK = 32  # plane rows per DMA chunk (16 KiB)
 C_POFF, C_BD, C_BF, C_FIRST, C_COUNT, C_HITS, C_LAST, C_PAD = range(8)
 META_COLS = 8
 META_PER_ROW = 16  # blocks per bmeta row
-META_ROWS = MAXB // META_PER_ROW + 2  # rows DMA'd per cell (covers offset)
+# rows DMA'd per cell: >= MAXB/16 + 1 to cover the offset remainder, and a
+# multiple of 8 — dynamic-offset DMAs with non-8-multiple row counts fault
+# the TPU (observed on v5e)
+META_ROWS = 16
 
 
 def _expand_bits(words_u32: jnp.ndarray) -> jnp.ndarray:
@@ -78,9 +81,9 @@ def _make_kernel(with_offsets: bool):
 
     def kernel(cell_start_ref, cell_nblocks_ref, bmeta_ref, planes_ref, *rest):
         if with_offsets:
-            out_ref, off_ref, meta_v, meta_s, rows_s, sems = rest
+            out_ref, off_ref, meta_s, rows_s, sems = rest
         else:
-            (out_ref, meta_v, meta_s, rows_s, sems) = rest
+            (out_ref, meta_s, rows_s, sems) = rest
             off_ref = None
         _freq_tiles_body(
             cell_start_ref,
@@ -89,7 +92,6 @@ def _make_kernel(with_offsets: bool):
             planes_ref,
             out_ref,
             off_ref,
-            meta_v,
             meta_s,
             rows_s,
             sems,
@@ -107,7 +109,6 @@ def _freq_tiles_body(
     planes_ref,  # ANY/HBM (R_pad, 128) u32
     out_ref,  # VMEM (1, 1, 128, 128) f32 — freq tile
     off_ref,  # VMEM (1, 1, 128, 128) i32 hits-offset tile, or None
-    meta_v,  # VMEM (META_ROWS, 128) i32 — DMA staging for meta
     meta_s,  # SMEM (META_ROWS, 128) i32
     rows_s,  # VMEM (MAXROWS + 40, 128) u32
     sems,  # DMA semaphores (2,)
@@ -125,17 +126,11 @@ def _freq_tiles_body(
     def _():
         b0 = cell_start_ref[w, t]
         mr0 = b0 // META_PER_ROW
-        # two-hop meta copy: HBM -> VMEM at a dynamic row offset, then
-        # VMEM -> SMEM whole-buffer. A direct dynamic-offset HBM -> SMEM DMA
-        # faults the TPU (observed on v5e; static offsets are fine).
         mcp = pltpu.make_async_copy(
-            bmeta_ref.at[pl.ds(mr0, META_ROWS), :], meta_v, sems.at[0]
+            bmeta_ref.at[pl.ds(mr0, META_ROWS), :], meta_s, sems.at[0]
         )
         mcp.start()
         mcp.wait()
-        scp = pltpu.make_async_copy(meta_v, meta_s, sems.at[0])
-        scp.start()
-        scp.wait()
 
         def meta(j, col):
             idx = b0 + j
@@ -265,7 +260,6 @@ def materialize_freq_tiles(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
             pltpu.SMEM((META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
             pltpu.VMEM((MAXROWS + 40, TILE), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),

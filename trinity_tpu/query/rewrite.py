@@ -1,0 +1,268 @@
+"""Query rewriting: synonyms / contractions / expansions.
+
+The analog of queries_rewrite.h: rewrite_query() walks each maximal AND-run
+of tokens (process_runs, queries.h:692-778), slides windows of up to K
+tokens, asks an application-provided alternatives source for each window,
+and materializes a rewritten AST in which every alternative carries
+provenance metadata — rewrite_ctx{range, translationCoefficient,
+srcSeqSize} (queries.h:392-438) — used later for scoring.
+
+Where the reference builds an explicit `flow` graph of spans
+(queries_rewrite.h:16-182) and renders it back to nodes, this implementation
+uses the equivalent DAG formulation directly: for a run t_0..t_{n-1},
+
+    expr(i) = OR over edges (i -> j, alt) of [alt AND expr(j)]
+
+with one edge per original token (coefficient 1) plus one edge per
+application alternative spanning [i, j), j - i <= K. The result is
+linear-size in the number of alternatives, like the reference's flow graph.
+A node budget caps blow-up (queries_rewrite.h:981-1095); alternatives are
+cached per window (gen_ctx analog, queries_rewrite.h:187-243).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from trinity_tpu.query.ast import (
+    BinOp,
+    ConstTrueExpr,
+    MatchSome,
+    Node,
+    Op,
+    Phrase,
+    RewriteCtx,
+    Term,
+    UnaryOp,
+)
+from trinity_tpu.query.parser import Query
+
+
+@dataclass
+class Alternative:
+    """One rewrite of a token window: a replacement token sequence (or
+    phrase) and its relevance coefficient."""
+
+    tokens: Sequence[str]
+    coefficient: float = 1.0
+    as_phrase: bool = False
+    flags: int = 0
+
+
+# alternatives source: (window tokens) -> list of Alternative
+AltProvider = Callable[[Sequence[str]], List[Alternative]]
+
+
+@dataclass
+class _RunCtx:
+    budget: int
+    provider: AltProvider
+    k: int
+    cache: Dict[Tuple[str, ...], List[Alternative]] = field(default_factory=dict)
+
+    def alternatives(self, window: Tuple[str, ...]) -> List[Alternative]:
+        if window not in self.cache:
+            self.cache[window] = self.provider(window) or []
+        return self.cache[window]
+
+
+def collect_runs(query: Query) -> List[List[Phrase]]:
+    """Public process_runs analog (queries.h:692-778): the maximal AND-runs
+    of single tokens, in query order — the unit rewrites operate on."""
+    runs: List[List[Phrase]] = []
+    cur: List[Phrase] = []
+    if query.root is not None:
+        _collect_runs(query.root, runs, cur)
+        _flush(runs, cur)
+    return runs
+
+
+def _collect_runs(n: Node, runs: List[List[Phrase]], current: List[Phrase]):
+    """Maximal AND-chained single-token sequences. Tokens under OR/NOT/
+    phrases terminate runs."""
+    if isinstance(n, Phrase):
+        if not n.is_phrase and n.size == 1:
+            current.append(n)
+        else:
+            _flush(runs, current)
+        return
+    if isinstance(n, BinOp):
+        if n.op.normalized() is Op.AND:
+            _collect_runs(n.lhs, runs, current)
+            _collect_runs(n.rhs, runs, current)
+            return
+        if n.op is Op.NOT:
+            _collect_runs(n.lhs, runs, current)
+            _flush(runs, current)
+            return
+        _flush(runs, current)
+        sub: List[Phrase] = []
+        _collect_runs(n.lhs, runs, sub)
+        _flush(runs, sub)
+        sub = []
+        _collect_runs(n.rhs, runs, sub)
+        _flush(runs, sub)
+        return
+    if isinstance(n, (UnaryOp, ConstTrueExpr)):
+        _flush(runs, current)
+        return
+    if isinstance(n, MatchSome):
+        _flush(runs, current)
+        return
+    _flush(runs, current)
+
+
+def _flush(runs, current):
+    if current:
+        runs.append(list(current))
+        current.clear()
+
+
+def _make_node(
+    alt: Alternative, base_index: int, span: int, ctx_nodes: List[int]
+) -> Node:
+    """Materialize one alternative as Token-AND-chain or Phrase, stamped
+    with rewrite_ctx provenance."""
+    rc = RewriteCtx(
+        range=(base_index, base_index + span),
+        translation_coefficient=alt.coefficient,
+        src_seq_size=span,
+    )
+    if alt.as_phrase:
+        ctx_nodes[0] += len(alt.tokens)
+        return Phrase(
+            terms=[Term(t) for t in alt.tokens],
+            is_phrase=True,
+            flags=alt.flags,
+            rewrite_ctx=rc,
+        )
+    nodes = [
+        Phrase(
+            terms=[Term(t)],
+            is_phrase=False,
+            flags=alt.flags,
+            rewrite_ctx=RewriteCtx(
+                range=rc.range,
+                translation_coefficient=alt.coefficient,
+                src_seq_size=span,
+            ),
+        )
+        for t in alt.tokens
+    ]
+    ctx_nodes[0] += len(nodes)
+    out = nodes[0]
+    for nn in nodes[1:]:
+        out = BinOp(Op.AND, out, nn)
+    return out
+
+
+def _rewrite_run(tokens: List[Phrase], ctx: _RunCtx) -> Optional[Node]:
+    """DAG construction: expr(i) = OR over edges out of i."""
+    n = len(tokens)
+    texts = [p.terms[0].text for p in tokens]
+    base = tokens[0].index if tokens else 0
+    node_count = [0]
+
+    def expr(i: int) -> Optional[Node]:
+        # no memo sharing: the AST is a mutable tree (normalize rewrites
+        # nodes in place), so every path is materialized — the node budget
+        # makes this bounded, exactly like the reference's budgeted
+        # flow materialization (queries_rewrite.h:981-1095)
+        if i >= n:
+            return None
+        choices: List[Node] = []
+        # original token edge (coefficient 1, identity rewrite)
+        orig = Phrase(
+            terms=[Term(texts[i])],
+            is_phrase=False,
+            rep=tokens[i].rep,
+            flags=tokens[i].flags,
+            app_phrase_id=tokens[i].app_phrase_id,
+        )
+        tail = expr(i + 1)
+        choices.append(BinOp(Op.AND, orig, tail) if tail is not None else orig)
+        # alternative edges for windows [i, j)
+        for j in range(i + 1, min(n, i + ctx.k) + 1):
+            window = tuple(texts[i:j])
+            for alt in ctx.alternatives(window):
+                if node_count[0] >= ctx.budget:
+                    break
+                if list(alt.tokens) == list(window) and not alt.as_phrase:
+                    continue  # identity, already covered
+                node = _make_node(alt, base + i, j - i, node_count)
+                tail = expr(j)
+                choices.append(
+                    BinOp(Op.AND, node, tail) if tail is not None else node
+                )
+        out = choices[0]
+        for c in choices[1:]:
+            out = BinOp(Op.OR, out, c)
+        return out
+
+    return expr(0)
+
+
+def rewrite_query(
+    query: Query,
+    provider: AltProvider,
+    k: int = 3,
+    budget: int = 256,
+) -> Query:
+    """rewrite_query analog (queries_rewrite.h:992-997): returns a NEW
+    normalized query with every AND-run of tokens expanded by the
+    application's alternatives. The original query is not modified."""
+    from trinity_tpu.query.ast import copy_node
+
+    if query.root is None:
+        return Query(root=None)
+    root = copy_node(query.root)
+    ctx = _RunCtx(budget=budget, provider=provider, k=k)
+
+    def transform(node: Node) -> Node:
+        if isinstance(node, Phrase):
+            if not node.is_phrase and node.size == 1:
+                rewritten = _rewrite_run([node], ctx)
+                return rewritten if rewritten is not None else node
+            return node
+        if isinstance(node, BinOp):
+            if node.op.normalized() is Op.AND:
+                # collect the full AND-token chain rooted here
+                chain: List[Phrase] = []
+                rest: List[Node] = []
+
+                def split(m: Node):
+                    if isinstance(m, BinOp) and m.op.normalized() is Op.AND:
+                        split(m.lhs)
+                        split(m.rhs)
+                    elif isinstance(m, Phrase) and not m.is_phrase and m.size == 1:
+                        chain.append(m)
+                    else:
+                        rest.append(transform(m))
+
+                split(node)
+                parts: List[Node] = []
+                if chain:
+                    rw = _rewrite_run(chain, ctx)
+                    if rw is not None:
+                        parts.append(rw)
+                parts.extend(rest)
+                out = parts[0]
+                for p in parts[1:]:
+                    out = BinOp(Op.AND, out, p)
+                return out
+            node.lhs = transform(node.lhs)
+            node.rhs = transform(node.rhs)
+            return node
+        if isinstance(node, UnaryOp):
+            return node  # negated/required-prefix terms are not expanded
+        if isinstance(node, ConstTrueExpr):
+            node.expr = transform(node.expr)
+            return node
+        if isinstance(node, MatchSome):
+            node.nodes = [transform(c) for c in node.nodes]
+            return node
+        return node
+
+    q = Query(root=transform(root))
+    return q.normalize()
