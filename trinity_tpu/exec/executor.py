@@ -361,6 +361,53 @@ class Executor:
             out.append(SearchResult(int(seg.doc_map[i]), float(v)))
         return out
 
+    def search_many(
+        self,
+        queries: Sequence,
+        k: int = 10,
+        scorer: str = "bm25",
+        stats=None,
+        df_of=None,
+    ) -> List[List[SearchResult]]:
+        """Pipelined multi-query execution: all device programs are issued
+        asynchronously before any result is awaited, hiding host<->device
+        latency (the serving-loop analog of the reference's per-source
+        std::async fan-out, exec.h:132-154 — but over the query axis)."""
+        jax, _ = _lazy_jax()
+        seg = self.seg
+        pending = []
+        for query in queries:
+            prep = self._prepare(query, scorer, stats, df_of)
+            if prep is None:
+                pending.append(None)
+                continue
+            plan, cs, cn, weights = prep
+            if plan.has_phrase:
+                gv, gi = self._run_phrase(plan, cs, cn, weights, scorer, k, "search")
+            else:
+                fn = _build_search_fn(
+                    plan.tape, scorer, seg.n_windows, plan.n_slots, k,
+                    self.interpret, "search",
+                )
+                gv, gi = fn(
+                    self.bmeta, self.planes, cs, cn, weights,
+                    np.int32(seg.n_docs), self._deleted,
+                )
+            pending.append((gv, gi))
+        out: List[List[SearchResult]] = []
+        for p in pending:
+            if p is None:
+                out.append([])
+                continue
+            gv, gi = jax.device_get(p)
+            res = []
+            for v, i in zip(gv, gi):
+                if v == NEG_INF:
+                    break
+                res.append(SearchResult(int(seg.doc_map[i]), float(v)))
+            out.append(res)
+        return out
+
     def match_ids(self, query, scorer: str = "trivial") -> np.ndarray:
         """DocumentsOnly execution (exec.h:12-23): matching app doc ids asc."""
         prep = self._prepare(query, scorer)

@@ -1,0 +1,5 @@
+"""Multi-chip serving: mesh-sharded segments + collective top-k merge."""
+
+from trinity_tpu.parallel.mesh import MeshExecutor, split_segment
+
+__all__ = ["MeshExecutor", "split_segment"]
