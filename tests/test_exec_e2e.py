@@ -135,3 +135,14 @@ def test_tie_break_is_docid_ascending():
     assert ids(got) == list(range(1, 11))
     scores = [r.score for r in got]
     assert len(set(scores)) == 1
+
+
+def test_search_batch_parity(small):
+    ex, corpus = small
+    qs = ["t0 t1", "t2 t3", "t1 t5", "t0 OR t9", "t3 OR t1", '"t0 t1"', "zzz", "t4 NOT t0"]
+    batch = ex.search_batch(qs, k=10)
+    for q, br in zip(qs, batch):
+        sr = ex.search(q, k=10)
+        assert [(r.doc_id, r.score) for r in br] == [
+            (r.doc_id, r.score) for r in sr
+        ], q

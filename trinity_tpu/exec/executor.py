@@ -62,27 +62,30 @@ def _lazy_jax():
 # stage 2: tape evaluation over (W, WINDOW_SIZE) flattened tiles
 # --------------------------------------------------------------------------
 def _eval_tape(tape, freq, weights, scorer_cls, jnp, phrase_tiles=None, _pc=None):
-    """freq: f32 (W, T, N). Returns (mask bool (W,N), score f32 (W,N)).
+    """freq: f32 (..., T, N) with any leading batch dims. Returns
+    (mask bool (..., N), score f32 (..., N)).
 
     Mirrors oracle._eval semantics exactly: score contributions only from
     matching subtrees, f32 accumulation in tree order. phrase_tiles holds
-    verified phrase-frequency tiles (W, N) in collect_phrases order.
+    verified phrase-frequency tiles (..., N) in collect_phrases order.
+    weights: callable widx -> broadcastable weight, or a 1-D array.
     """
     if _pc is None:
         _pc = [0]
+    wsel = weights if callable(weights) else (lambda i: weights[i])
     kind = tape[0]
     if kind == "tok":
         _, slot, widx = tape
-        f = freq[:, slot, :]
+        f = freq[..., slot, :]
         mask = f > 0
-        score = scorer_cls.score_tile(f, weights[widx])
+        score = scorer_cls.score_tile(f, wsel(widx))
         return mask, jnp.where(mask, score, 0.0)
     if kind == "phrase":
         _, slots, widx = tape
         pf = phrase_tiles[_pc[0]]
         _pc[0] += 1
         mask = pf > 0
-        score = scorer_cls.score_tile(pf, weights[widx])
+        score = scorer_cls.score_tile(pf, wsel(widx))
         return mask, jnp.where(mask, score, 0.0)
     if kind in ("and", "or", "not"):
         _, lt, rt = tape
@@ -98,7 +101,7 @@ def _eval_tape(tape, freq, weights, scorer_cls, jnp, phrase_tiles=None, _pc=None
         return m, jnp.where(m, ls, 0.0)
     if kind == "unot":
         cm, _ = _eval_tape(tape[1], freq, weights, scorer_cls, jnp, phrase_tiles, _pc)
-        return ~cm, jnp.zeros_like(freq[:, 0, :])
+        return ~cm, jnp.zeros_like(freq[..., 0, :])
     if kind == "opt":
         cm, cs = _eval_tape(tape[1], freq, weights, scorer_cls, jnp, phrase_tiles, _pc)
         return jnp.ones_like(cm) | cm, jnp.where(cm, cs, 0.0)
@@ -114,7 +117,7 @@ def _eval_tape(tape, freq, weights, scorer_cls, jnp, phrase_tiles=None, _pc=None
         m = cnt >= kmin
         return m, jnp.where(m, tot, 0.0)
     if kind == "false":
-        z = jnp.zeros_like(freq[:, 0, :])
+        z = jnp.zeros_like(freq[..., 0, :])
         return z > 1, z
     raise ValueError(kind)
 
@@ -158,6 +161,56 @@ def _build_search_fn(tape, scorer_name, W, T, k, interpret, mode):
         return gv, cand_i[gidx]
 
     return jax.jit(run, static_argnames=())
+
+
+@functools.lru_cache(maxsize=512)
+def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
+    """Batched execution: B same-shape queries share ONE device program —
+    the extra parallelism axis the reference lacks (it executes one query
+    per call, SURVEY §2.4). Stage 1 treats the batch as B*T term cells;
+    stage 2 evaluates the tape with a leading batch dim."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(bmeta, planes, cell_start, cell_nblocks, weights, n_docs, deleted):
+        # cell tables come in as (W, B*T)
+        tiles = materialize_freq_tiles(
+            bmeta,
+            planes,
+            cell_start,
+            cell_nblocks,
+            n_windows=W,
+            n_terms=B * T,
+            interpret=interpret,
+        )
+        # (W, B*T, 128, 128) -> (B, W, T, WINDOW)
+        freq = (
+            tiles.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        )
+        wsel = lambda i: weights[:, i, None, None]  # (B,1,1) broadcast
+        mask, score = _eval_tape(tape, freq, wsel, scorer_cls, jnp)
+        gid = (
+            jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
+            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+        )
+        mask = mask & (gid < n_docs)[None]
+        if deleted is not None:
+            mask = mask & ~deleted.reshape(W, WINDOW_SIZE)[None]
+        scores = jnp.where(mask, score, NEG_INF)  # (B, W, N)
+        pv, pi = jax.lax.top_k(scores, k)  # (B, W, k)
+        cand_v = pv.reshape(B, -1)
+        cand_i = (
+            pi + jnp.arange(W, dtype=jnp.int32)[None, :, None] * WINDOW_SIZE
+        ).reshape(B, -1)
+        gv, gidx = jax.lax.top_k(cand_v, k)  # (B, k)
+        return gv, jnp.take_along_axis(cand_i, gidx, axis=1)
+
+    return jax.jit(run)
+
+
+BATCH_BUCKETS = (1, 4, 16, 64)
 
 
 @functools.lru_cache(maxsize=256)
@@ -407,6 +460,96 @@ class Executor:
                 res.append(SearchResult(int(seg.doc_map[i]), float(v)))
             out.append(res)
         return out
+
+    def search_batch(
+        self,
+        queries: Sequence,
+        k: int = 10,
+        scorer: str = "bm25",
+        stats=None,
+        df_of=None,
+    ) -> List[List[SearchResult]]:
+        """Batched execution: queries are grouped by plan shape, padded to a
+        batch bucket, and each group runs as ONE device program (one
+        host->device round trip for the whole group)."""
+        jax, jnp = _lazy_jax()
+        from trinity_tpu.ops.postings import compute_cells
+
+        seg = self.seg
+        parsed = []
+        for q in queries:
+            if isinstance(q, str):
+                q = parse_query(q)
+            parsed.append(q.root if isinstance(q, Query) else q)
+        model = SIMILARITIES[scorer]
+        docs_cnt = stats.docs_cnt if stats else seg.stats.docs_cnt
+        if df_of is None:
+            df_of = lambda t: (
+                int(seg.term_df[seg.term_id(t)]) if seg.term_id(t) >= 0 else 0
+            )
+
+        groups: dict = {}
+        order = []
+        for qi, root in enumerate(parsed):
+            if root is None:
+                order.append(None)
+                continue
+            plan = compile_plan(root)
+            if plan.has_phrase:
+                order.append(("solo", qi, plan))
+                continue
+            key = plan.tape
+            groups.setdefault(key, []).append((qi, plan))
+            order.append(("group", key))
+
+        results: List[Optional[List[SearchResult]]] = [None] * len(parsed)
+        pending = []
+        for key, members in groups.items():
+            T = members[0][1].n_slots
+            nw = len(members[0][1].weight_terms)
+            B = next(b for b in BATCH_BUCKETS if b >= len(members)) if len(
+                members
+            ) <= BATCH_BUCKETS[-1] else len(members)
+            cs = np.zeros((seg.n_windows, B * T), np.int32)
+            cn = np.zeros((seg.n_windows, B * T), np.int32)
+            weights = np.zeros((B, nw), np.float32)
+            for bi, (qi, plan) in enumerate(members):
+                tids = [seg.term_id(t) for t in plan.term_texts]
+                c_s, c_n = compute_cells(seg, tids)
+                cs[:, bi * T : (bi + 1) * T] = c_s
+                cn[:, bi * T : (bi + 1) * T] = c_n
+                weights[bi] = [
+                    model.weight([df_of(t) for t in terms], docs_cnt)
+                    for terms in plan.weight_terms
+                ]
+            fn = _build_batch_fn(
+                key, scorer, seg.n_windows, T, B, k, self.interpret
+            )
+            out = fn(
+                self.bmeta,
+                self.planes,
+                jnp.asarray(cs),
+                jnp.asarray(cn),
+                jnp.asarray(weights),
+                np.int32(seg.n_docs),
+                self._deleted,
+            )
+            pending.append((members, out))
+        # phrase queries run through the standard path
+        for item in order:
+            if item is not None and item[0] == "solo":
+                _, qi, plan = item
+                results[qi] = self.search(parsed[qi], k, scorer, stats, df_of)
+        for members, out in pending:
+            gv, gi = jax.device_get(out)
+            for bi, (qi, plan) in enumerate(members):
+                res = []
+                for v, i in zip(gv[bi], gi[bi]):
+                    if v == NEG_INF:
+                        break
+                    res.append(SearchResult(int(seg.doc_map[i]), float(v)))
+                results[qi] = res
+        return [r if r is not None else [] for r in results]
 
     def match_ids(self, query, scorer: str = "trivial") -> np.ndarray:
         """DocumentsOnly execution (exec.h:12-23): matching app doc ids asc."""

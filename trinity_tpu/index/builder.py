@@ -175,51 +175,53 @@ def _build_segment(
         term_block_start[1:] = np.cumsum(term_nblocks[:-1])
     n_blocks = int(term_nblocks.sum())
 
-    block_plane_off = np.zeros(n_blocks, np.uint32)
-    block_first_doc = np.zeros(n_blocks, np.uint32)
-    block_last_doc = np.zeros(n_blocks, np.uint32)
-    block_count = np.zeros(n_blocks, np.int32)
-    block_bits_doc = np.zeros(n_blocks, np.uint8)
-    block_bits_freq = np.zeros(n_blocks, np.uint8)
-    block_hits_off = np.zeros(n_blocks, np.uint32)
-
-    plane_parts = []
-    plane_off = 0
-    term_posting_start = np.searchsorted(p_tid, np.arange(n_terms))
     if n_postings and int(p_freq.max()) > (1 << MAX_FREQ_BITS):
         raise ValueError("per-document term frequency exceeds 2^16")
-    # hits offset per posting = start index into pos_a (positions already grouped)
-    for t in range(n_terms):
-        ps, pe = term_posting_start[t], term_posting_start[t + 1] if t + 1 < n_terms else n_postings
-        b0 = int(term_block_start[t])
-        for bi, off in enumerate(range(ps, pe, BLOCK_SIZE)):
-            b = b0 + bi
-            sl = slice(off, min(off + BLOCK_SIZE, pe))
-            docs = p_doc[sl]
-            freqs = p_freq[sl]
-            deltas = np.empty(len(docs), np.uint32)
-            deltas[0] = 0
-            np.subtract(docs[1:], docs[:-1], out=deltas[1:], casting="unsafe")
-            bd = bit_width(int(deltas.max(initial=0)))
-            f1 = (freqs - 1).astype(np.uint32)
-            bf = bit_width(int(f1.max(initial=0)))
-            plane_parts.append(plane_rows(deltas, bd))
-            plane_parts.append(plane_rows(f1, bf))
-            block_plane_off[b] = plane_off
-            block_first_doc[b] = docs[0]
-            block_last_doc[b] = docs[-1]
-            block_count[b] = len(docs)
-            block_bits_doc[b] = bd
-            block_bits_freq[b] = bf
-            block_hits_off[b] = p_start[off]
-            plane_off += bd + bf
+    posting_start = np.zeros(n_terms + 1, np.int64)
+    posting_start[:-1] = np.searchsorted(p_tid, np.arange(n_terms))
+    posting_start[-1] = n_postings
 
-    all_rows = (
-        np.concatenate(plane_parts)
-        if plane_parts
-        else np.zeros((0, BLOCK_SIZE), np.uint32)
+    # hits offset per posting = start index into pos_a (positions already
+    # grouped by the lexsort); the encode hot loop runs natively when
+    # libtrinity_host is built (the reference's encode phase is ~69% of
+    # indexing time, indexer.cpp:302-310)
+    from trinity_tpu.utils import native
+
+    native_out = (
+        native.build_blocks(
+            posting_start,
+            p_doc.astype(np.uint32),
+            p_freq.astype(np.uint32),
+            p_start.astype(np.uint32),
+            n_blocks,
+        )
+        if n_blocks
+        else None
     )
-    planes = pack_plane_matrix(all_rows)
+    if native_out is not None:
+        (
+            block_plane_off,
+            block_first_doc,
+            block_last_doc,
+            block_count,
+            block_bits_doc,
+            block_bits_freq,
+            block_hits_off,
+            planes,
+        ) = native_out
+    else:
+        (
+            block_plane_off,
+            block_first_doc,
+            block_last_doc,
+            block_count,
+            block_bits_doc,
+            block_bits_freq,
+            block_hits_off,
+            planes,
+        ) = _build_blocks_numpy(
+            posting_start, p_doc, p_freq, p_start, n_terms, n_blocks, term_block_start
+        )
 
     stats = FieldStatistics(
         sum_term_hits=int(total),
@@ -247,4 +249,59 @@ def _build_segment(
         updated_ids=updated,
         stats=stats,
         max_position=int(pos_a.max(initial=0)),
+    )
+
+
+def _build_blocks_numpy(
+    posting_start, p_doc, p_freq, p_start, n_terms, n_blocks, term_block_start
+):
+    """Pure-numpy encode fallback (same contract as native.build_blocks)."""
+    block_plane_off = np.zeros(n_blocks, np.uint32)
+    block_first_doc = np.zeros(n_blocks, np.uint32)
+    block_last_doc = np.zeros(n_blocks, np.uint32)
+    block_count = np.zeros(n_blocks, np.int32)
+    block_bits_doc = np.zeros(n_blocks, np.uint8)
+    block_bits_freq = np.zeros(n_blocks, np.uint8)
+    block_hits_off = np.zeros(n_blocks, np.uint32)
+    plane_parts = []
+    plane_off = 0
+    for t in range(n_terms):
+        ps, pe = int(posting_start[t]), int(posting_start[t + 1])
+        b0 = int(term_block_start[t])
+        for bi, off in enumerate(range(ps, pe, BLOCK_SIZE)):
+            b = b0 + bi
+            sl = slice(off, min(off + BLOCK_SIZE, pe))
+            docs = p_doc[sl]
+            freqs = p_freq[sl]
+            deltas = np.empty(len(docs), np.uint32)
+            deltas[0] = 0
+            np.subtract(docs[1:], docs[:-1], out=deltas[1:], casting="unsafe")
+            bd = bit_width(int(deltas.max(initial=0)))
+            f1 = (freqs - 1).astype(np.uint32)
+            bf = bit_width(int(f1.max(initial=0)))
+            plane_parts.append(plane_rows(deltas, bd))
+            plane_parts.append(plane_rows(f1, bf))
+            block_plane_off[b] = plane_off
+            block_first_doc[b] = docs[0]
+            block_last_doc[b] = docs[-1]
+            block_count[b] = len(docs)
+            block_bits_doc[b] = bd
+            block_bits_freq[b] = bf
+            block_hits_off[b] = p_start[off]
+            plane_off += bd + bf
+    all_rows = (
+        np.concatenate(plane_parts)
+        if plane_parts
+        else np.zeros((0, BLOCK_SIZE), np.uint32)
+    )
+    planes = pack_plane_matrix(all_rows)
+    return (
+        block_plane_off,
+        block_first_doc,
+        block_last_doc,
+        block_count,
+        block_bits_doc,
+        block_bits_freq,
+        block_hits_off,
+        planes,
     )

@@ -1,0 +1,129 @@
+"""ctypes bindings to the native host library (native/trinity_host.cpp).
+
+The reference's hot host paths are native C++ (PFor encode ~69% of indexing
+time, indexer.cpp:302-310; terms dict pack, terms.cpp:126-172). This module
+loads the optional `libtrinity_host.so` and exposes the same operations;
+every caller has a numpy fallback, so the library is an accelerator, not a
+dependency. Build it with `make -C native`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load libtrinity_host.so if built; returns None otherwise."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.environ.get(
+        "TRINITY_HOST_LIB",
+        os.path.join(_repo_root(), "native", "libtrinity_host.so"),
+    )
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.trin_build_blocks.restype = ctypes.c_int64
+    lib.trin_build_blocks.argtypes = [
+        ctypes.c_int64, i64p, u32p, u32p, u32p,
+        u32p, u32p, u32p, i32p, u8p, u8p, u32p, u32p,
+    ]
+    lib.trin_pack_terms.restype = ctypes.c_int64
+    lib.trin_pack_terms.argtypes = [
+        ctypes.c_int64, u8p, i64p, ctypes.c_int,
+        u8p, u32p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def build_blocks(
+    posting_start: np.ndarray,  # i64 [n_terms+1]
+    p_doc: np.ndarray,  # u32 [n]
+    p_freq: np.ndarray,  # u32 [n]
+    p_hits_off: np.ndarray,  # u32 [n]
+    n_blocks: int,
+) -> Optional[Tuple]:
+    """Native block build; returns the SegmentData block arrays + planes, or
+    None when the library isn't built."""
+    lib = load()
+    if lib is None:
+        return None
+    n_terms = len(posting_start) - 1
+    block_plane_off = np.zeros(n_blocks, np.uint32)
+    block_first = np.zeros(n_blocks, np.uint32)
+    block_last = np.zeros(n_blocks, np.uint32)
+    block_count = np.zeros(n_blocks, np.int32)
+    bits_doc = np.zeros(n_blocks, np.uint8)
+    bits_freq = np.zeros(n_blocks, np.uint8)
+    block_hits_off = np.zeros(n_blocks, np.uint32)
+    worst_rows = -(-(n_blocks * 48) // 32) + 2
+    planes = np.zeros((worst_rows, 128), np.uint32)
+    used = lib.trin_build_blocks(
+        n_terms,
+        np.ascontiguousarray(posting_start, np.int64),
+        np.ascontiguousarray(p_doc, np.uint32),
+        np.ascontiguousarray(p_freq, np.uint32),
+        np.ascontiguousarray(p_hits_off, np.uint32),
+        block_plane_off,
+        block_first,
+        block_last,
+        block_count,
+        bits_doc,
+        bits_freq,
+        block_hits_off,
+        planes,
+    )
+    if used < 0:
+        raise ValueError("native block build rejected postings (order/freq)")
+    rows = -(-int(used) // 32)
+    return (
+        block_plane_off,
+        block_first,
+        block_last,
+        block_count,
+        bits_doc,
+        bits_freq,
+        block_hits_off,
+        planes[:rows].copy(),
+    )
+
+
+def pack_terms(terms, interval: int = 64) -> Optional[Tuple]:
+    """Native prefix-compressed terms pack; None if lib missing."""
+    lib = load()
+    if lib is None:
+        return None
+    blobs = [t if isinstance(t, bytes) else t.encode() for t in terms]
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    blob = np.frombuffer(b"".join(blobs) or b"\0", np.uint8)
+    # worst case: 10 varint bytes + full term per entry
+    data = np.zeros(int(offsets[-1]) + 10 * max(1, len(blobs)), np.uint8)
+    skips = np.zeros(2 * (-(-max(1, len(blobs)) // interval)), np.uint32)
+    n_skips = ctypes.c_int64(0)
+    used = lib.trin_pack_terms(
+        len(blobs), blob, offsets, interval, data, skips, ctypes.byref(n_skips)
+    )
+    return data[:used].copy(), skips[: 2 * n_skips.value].reshape(-1, 2).copy()
