@@ -35,6 +35,18 @@ from trinity_tpu.query.parser import Query, parse_query
 
 NEG_INF = float("-inf")
 
+# term-slot padding buckets: the Pallas kernel is compiled per (W, n_terms),
+# so padding the term axis to a few buckets keeps kernel variants (and their
+# compile time) bounded across query shapes
+T_BUCKETS = (4, 8, 16, 32, 64, 128)
+
+
+def _pad_T(t: int) -> int:
+    for b in T_BUCKETS:
+        if t <= b:
+            return b
+    return t
+
 
 class ExecFlags(enum.IntFlag):
     """exec.h:11-43."""
@@ -349,6 +361,10 @@ class Executor:
         seg = self.seg
         tids = [seg.term_id(t) for t in plan.term_texts]
         cell_start, cell_nblocks = compute_cells(seg, tids)
+        pad = _pad_T(plan.n_slots) - plan.n_slots
+        if pad:
+            cell_start = np.pad(cell_start, ((0, 0), (0, pad)))
+            cell_nblocks = np.pad(cell_nblocks, ((0, 0), (0, pad)))
         docs_cnt = stats.docs_cnt if stats else seg.stats.docs_cnt
         if df_of is None:
             df_of = lambda t: (
@@ -391,7 +407,7 @@ class Executor:
                 plan.tape,
                 scorer,
                 seg.n_windows,
-                plan.n_slots,
+                _pad_T(plan.n_slots),
                 k,
                 self.interpret,
                 "search",
@@ -439,7 +455,7 @@ class Executor:
                 gv, gi = self._run_phrase(plan, cs, cn, weights, scorer, k, "search")
             else:
                 fn = _build_search_fn(
-                    plan.tape, scorer, seg.n_windows, plan.n_slots, k,
+                    plan.tape, scorer, seg.n_windows, _pad_T(plan.n_slots), k,
                     self.interpret, "search",
                 )
                 gv, gi = fn(
@@ -505,7 +521,7 @@ class Executor:
         results: List[Optional[List[SearchResult]]] = [None] * len(parsed)
         pending = []
         for key, members in groups.items():
-            T = members[0][1].n_slots
+            T = _pad_T(members[0][1].n_slots)
             nw = len(members[0][1].weight_terms)
             B = next(b for b in BATCH_BUCKETS if b >= len(members)) if len(
                 members
@@ -516,8 +532,8 @@ class Executor:
             for bi, (qi, plan) in enumerate(members):
                 tids = [seg.term_id(t) for t in plan.term_texts]
                 c_s, c_n = compute_cells(seg, tids)
-                cs[:, bi * T : (bi + 1) * T] = c_s
-                cn[:, bi * T : (bi + 1) * T] = c_n
+                cs[:, bi * T : bi * T + plan.n_slots] = c_s
+                cn[:, bi * T : bi * T + plan.n_slots] = c_n
                 weights[bi] = [
                     model.weight([df_of(t) for t in terms], docs_cnt)
                     for terms in plan.weight_terms
@@ -567,7 +583,7 @@ class Executor:
                 plan.tape,
                 scorer,
                 seg.n_windows,
-                plan.n_slots,
+                _pad_T(plan.n_slots),
                 0,
                 self.interpret,
                 "docs",
@@ -604,7 +620,7 @@ class Executor:
         C = min(2048, WINDOW_SIZE)
         while True:
             fa = _build_phrase_pass_a(
-                phrase_slots, W, plan.n_slots, C, self.interpret
+                phrase_slots, W, _pad_T(plan.n_slots), C, self.interpret
             )
             freq, per_phrase = fa(self.bmeta, self.planes, cs, cn)
             max_cnt = max(
@@ -630,7 +646,7 @@ class Executor:
             plan.tape,
             scorer,
             W,
-            plan.n_slots,
+            _pad_T(plan.n_slots),
             k,
             C,
             len(phrases),

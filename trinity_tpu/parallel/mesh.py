@@ -234,6 +234,9 @@ class MeshExecutor:
             raise NotImplementedError(
                 "phrases on the mesh path land with the device phrase kernel"
             )
+        from trinity_tpu.exec.executor import _pad_T
+
+        t_pad = _pad_T(plan.n_slots)
         model = SIMILARITIES[scorer]
         weights = np.array(
             [
@@ -246,14 +249,19 @@ class MeshExecutor:
         for s in self.shards:
             tids = [s.term_id(t) for t in plan.term_texts]
             cs, cn = compute_cells(s, tids)
-            cs_list.append(np.pad(cs, ((0, self.W - cs.shape[0]), (0, 0))))
-            cn_list.append(np.pad(cn, ((0, self.W - cn.shape[0]), (0, 0))))
+            pad_t = t_pad - cs.shape[1]
+            cs_list.append(
+                np.pad(cs, ((0, self.W - cs.shape[0]), (0, pad_t)))
+            )
+            cn_list.append(
+                np.pad(cn, ((0, self.W - cn.shape[0]), (0, pad_t)))
+            )
         run = _build_sharded_fn(
             plan.tape,
             scorer,
             len(self.shards),
             self.W,
-            plan.n_slots,
+            t_pad,
             k,
             self.interpret,
             self.axis,
