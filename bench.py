@@ -72,6 +72,10 @@ def make_queries(rng, n=120):
 def main():
     import jax
 
+    # persistent compilation cache: kernel compiles survive across processes
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from trinity_tpu.exec import Executor
 
     t0 = time.time()
@@ -89,9 +93,10 @@ def main():
 
     # throughput: batched execution — same-shape queries share one device
     # program, the engine's extra parallelism axis (SURVEY §2.4)
-    ex.search_batch(queries[:24], k=10)  # warm batch shapes
+    ex.search_batch(queries, k=10)  # warm every shape incl. phrase capacities
+    _log(f"batch warm done at {time.time()-t0:.0f}s")
     t0 = time.time()
-    reps = 4
+    reps = 3
     for _ in range(reps):
         ex.search_batch(queries, k=10)
     wall = time.time() - t0

@@ -90,3 +90,20 @@ def test_optional_capture(ex):
     by_id = {m.doc_id: m for m in got}
     assert by_id[10].term("case") is not None
     assert by_id[12].term("case") is None
+
+
+def test_payload_materialization():
+    """term_hit payloads round-trip (runtime.h:8-20)."""
+    sess = SegmentIndexSession(track_payloads=True)
+    p = sess.begin(7)
+    p.insert("alpha", 1, payload=0xBEEF)
+    p.insert("beta", 2, payload=42)
+    p.insert("alpha", 3, payload=0xCAFE)
+    sess.insert(p)
+    ex = Executor(sess.commit())
+    got = []
+    exec_rich(ex, "alpha beta", got.append)
+    assert len(got) == 1
+    alpha = got[0].term("alpha")
+    assert [(h.pos, h.payload) for h in alpha.hits] == [(1, 0xBEEF), (3, 0xCAFE)]
+    assert got[0].term("beta").hits[0].payload == 42

@@ -1,0 +1,66 @@
+"""Runtime configuration.
+
+The reference's knobs are compile-time macros and Makefile switches
+(SURVEY §5.6: LUCENE_ENCODING_SCHEME, TRINITY_* feature macros, block size,
+skiplist strides). Here they are a runtime dataclass, overridable via
+environment variables (TRINITY_TPU_<FIELD>) or programmatically via
+`configure()`. Structural constants that define the on-disk/HBM format
+(BLOCK_SIZE, WINDOW_SIZE, plane layout) live in limits.py and are format
+versioned, not tunable per process.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class Config:
+    # executor
+    batch_buckets: tuple = (1, 4, 16, 64)  # search_batch group padding
+    term_buckets: tuple = (4, 8, 16, 32, 64, 128)  # kernel term-axis padding
+    phrase_candidate_cap: int = 2048  # initial per-window phrase candidates
+    rich_candidate_cap: int = 2048  # initial rich-match candidates
+    default_k: int = 10
+    default_scorer: str = "bm25"
+    # kernels
+    row_chunk: int = 32  # plane rows per DMA chunk (ops/postings.py)
+    # percolator
+    percolator_stack_depth_pad: int = 0  # extra stack slack
+    # host
+    use_native: bool = True  # libtrinity_host.so if built
+
+    @classmethod
+    def from_env(cls) -> "Config":
+        cfg = cls()
+        for f in fields(cls):
+            env = os.environ.get(f"TRINITY_TPU_{f.name.upper()}")
+            if env is None:
+                continue
+            cur = getattr(cfg, f.name)
+            if isinstance(cur, bool):
+                setattr(cfg, f.name, env.lower() in ("1", "true", "yes"))
+            elif isinstance(cur, int):
+                setattr(cfg, f.name, int(env))
+            elif isinstance(cur, tuple):
+                setattr(cfg, f.name, tuple(int(x) for x in env.split(",")))
+            else:
+                setattr(cfg, f.name, env)
+        return cfg
+
+
+_config = Config.from_env()
+
+
+def get_config() -> Config:
+    return _config
+
+
+def configure(**kw) -> Config:
+    """Override runtime knobs process-wide; returns the active config."""
+    for k, v in kw.items():
+        if not hasattr(_config, k):
+            raise AttributeError(f"unknown config field {k!r}")
+        setattr(_config, k, v)
+    return _config

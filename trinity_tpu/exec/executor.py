@@ -35,14 +35,13 @@ from trinity_tpu.query.parser import Query, parse_query
 
 NEG_INF = float("-inf")
 
-# term-slot padding buckets: the Pallas kernel is compiled per (W, n_terms),
-# so padding the term axis to a few buckets keeps kernel variants (and their
-# compile time) bounded across query shapes
-T_BUCKETS = (4, 8, 16, 32, 64, 128)
-
 
 def _pad_T(t: int) -> int:
-    for b in T_BUCKETS:
+    """Pad the term axis to a bucket: the Pallas kernel is compiled per
+    (W, n_terms), so bucketing bounds kernel variants across query shapes."""
+    from trinity_tpu.config import get_config
+
+    for b in get_config().term_buckets:
         if t <= b:
             return b
     return t
@@ -222,7 +221,90 @@ def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
     return jax.jit(run)
 
 
-BATCH_BUCKETS = (1, 4, 16, 64)
+@functools.lru_cache(maxsize=256)
+def _build_phrase_batch_a(phrase_slots, W, T, B, C, interpret):
+    """Batched phrase pass A: B same-shape phrase queries in one program.
+    Returns per-query freq (B, W, T, N) plus per-phrase candidate data."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    def run(bmeta, planes, cell_start, cell_nblocks):
+        tiles, offs = materialize_freq_tiles(
+            bmeta,
+            planes,
+            cell_start,
+            cell_nblocks,
+            n_windows=W,
+            n_terms=B * T,
+            interpret=interpret,
+            with_offsets=True,
+        )
+        freq = tiles.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        offv = offs.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        iota = jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, None, :]
+        per_phrase = []
+        for slots in phrase_slots:
+            m = freq[:, :, slots[0], :] > 0
+            for s in slots[1:]:
+                m = m & (freq[:, :, s, :] > 0)
+            key = jnp.where(m, WINDOW_SIZE - iota, 0)  # (B, W, N)
+            kv, ki = jax.lax.top_k(key, C)  # (B, W, C)
+            valid = kv > 0
+            cnt = m.sum(axis=2)
+            pf = jnp.stack(
+                [
+                    jnp.take_along_axis(freq[:, :, s, :], ki, axis=2)
+                    for s in slots
+                ],
+                axis=-1,
+            ).astype(jnp.int32)
+            po = jnp.stack(
+                [
+                    jnp.take_along_axis(offv[:, :, s, :], ki, axis=2)
+                    for s in slots
+                ],
+                axis=-1,
+            )
+            per_phrase.append((ki, valid, cnt, pf, po))
+        return freq, per_phrase
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_phrase_batch_c(tape, scorer_name, W, T, B, k, C, n_phrases, interpret):
+    """Batched phrase pass C: tape eval with injected (B, W, C) phrase
+    scatters + per-query top-k."""
+    jax, jnp = _lazy_jax()
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(freq, phrase_ids, phrase_freqs, weights, n_docs, deleted):
+        rows_b = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        rows_w = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+        phrase_tiles = []
+        for p in range(n_phrases):
+            tile = jnp.zeros((B, W, WINDOW_SIZE), jnp.float32)
+            tile = tile.at[rows_b, rows_w, phrase_ids[p]].add(phrase_freqs[p])
+            phrase_tiles.append(tile)
+        wsel = lambda i: weights[:, i, None, None]
+        mask, score = _eval_tape(tape, freq, wsel, scorer_cls, jnp, phrase_tiles)
+        gid = (
+            jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
+            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+        )
+        mask = mask & (gid < n_docs)[None]
+        if deleted is not None:
+            mask = mask & ~deleted.reshape(W, WINDOW_SIZE)[None]
+        scores = jnp.where(mask, score, NEG_INF)
+        pv, pi = jax.lax.top_k(scores, k)  # (B, W, k)
+        cand_v = pv.reshape(B, -1)
+        cand_i = (
+            pi + jnp.arange(W, dtype=jnp.int32)[None, :, None] * WINDOW_SIZE
+        ).reshape(B, -1)
+        gv, gidx = jax.lax.top_k(cand_v, k)
+        return gv, jnp.take_along_axis(cand_i, gidx, axis=1)
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=256)
@@ -395,13 +477,19 @@ class Executor:
         df_of=None,
     ) -> List[SearchResult]:
         """AccumulatedScoreScheme execution (exec.h:25-34): ranked top-k."""
-        prep = self._prepare(query, scorer, stats, df_of)
+        from trinity_tpu.utils.timings import trace
+
+        with trace("exec.prepare"):
+            prep = self._prepare(query, scorer, stats, df_of)
         if prep is None:
             return []
         plan, cs, cn, weights = prep
         seg = self.seg
         if plan.has_phrase:
-            gv, gi = self._run_phrase(plan, cs, cn, weights, scorer, k, "search")
+            with trace("exec.phrase"):
+                gv, gi = self._run_phrase(
+                    plan, cs, cn, weights, scorer, k, "search"
+                )
         else:
             fn = _build_search_fn(
                 plan.tape,
@@ -412,15 +500,16 @@ class Executor:
                 self.interpret,
                 "search",
             )
-            gv, gi = fn(
-                self.bmeta,
-                self.planes,
-                cs,
-                cn,
-                weights,
-                np.int32(seg.n_docs),
-                self._deleted,
-            )
+            with trace("exec.device"):
+                gv, gi = fn(
+                    self.bmeta,
+                    self.planes,
+                    cs,
+                    cn,
+                    weights,
+                    np.int32(seg.n_docs),
+                    self._deleted,
+                )
         gv = np.asarray(gv)
         gi = np.asarray(gi)
         out = []
@@ -505,17 +594,18 @@ class Executor:
             )
 
         groups: dict = {}
+        phrase_groups: dict = {}
         order = []
         for qi, root in enumerate(parsed):
             if root is None:
                 order.append(None)
                 continue
             plan = compile_plan(root)
-            if plan.has_phrase:
-                order.append(("solo", qi, plan))
-                continue
             key = plan.tape
-            groups.setdefault(key, []).append((qi, plan))
+            if plan.has_phrase:
+                phrase_groups.setdefault(key, []).append((qi, plan))
+            else:
+                groups.setdefault(key, []).append((qi, plan))
             order.append(("group", key))
 
         results: List[Optional[List[SearchResult]]] = [None] * len(parsed)
@@ -523,9 +613,14 @@ class Executor:
         for key, members in groups.items():
             T = _pad_T(members[0][1].n_slots)
             nw = len(members[0][1].weight_terms)
-            B = next(b for b in BATCH_BUCKETS if b >= len(members)) if len(
-                members
-            ) <= BATCH_BUCKETS[-1] else len(members)
+            from trinity_tpu.config import get_config
+
+            buckets = get_config().batch_buckets
+            B = (
+                next(b for b in buckets if b >= len(members))
+                if len(members) <= buckets[-1]
+                else len(members)
+            )
             cs = np.zeros((seg.n_windows, B * T), np.int32)
             cn = np.zeros((seg.n_windows, B * T), np.int32)
             weights = np.zeros((B, nw), np.float32)
@@ -551,11 +646,11 @@ class Executor:
                 self._deleted,
             )
             pending.append((members, out))
-        # phrase queries run through the standard path
-        for item in order:
-            if item is not None and item[0] == "solo":
-                _, qi, plan = item
-                results[qi] = self.search(parsed[qi], k, scorer, stats, df_of)
+        for key, members in phrase_groups.items():
+            out = self._run_phrase_batch(
+                key, members, k, scorer, model, docs_cnt, df_of
+            )
+            pending.append((members, out))
         for members, out in pending:
             gv, gi = jax.device_get(out)
             for bi, (qi, plan) in enumerate(members):
@@ -603,6 +698,79 @@ class Executor:
         return seg.doc_map[local]
 
     # ------------------------------------------------------- phrase path
+    def _run_phrase_batch(self, key, members, k, scorer, model, docs_cnt, df_of):
+        """Batched phrase execution for one tape-shape group: device pass A
+        (B queries, candidates per phrase), one host verification pass over
+        all candidates, device pass C — three round trips for the whole
+        group instead of per query."""
+        from trinity_tpu.config import get_config
+        from trinity_tpu.exec.phrases import (
+            collect_phrases,
+            verify_phrase_candidates,
+        )
+        from trinity_tpu.ops.postings import compute_cells
+
+        jax, jnp = _lazy_jax()
+        seg = self.seg
+        W = seg.n_windows
+        plan0 = members[0][1]
+        T = _pad_T(plan0.n_slots)
+        phrases = collect_phrases(key)
+        phrase_slots = tuple(slots for slots, _ in phrases)
+        nw = len(plan0.weight_terms)
+        buckets = get_config().batch_buckets
+        B = (
+            next(b for b in buckets if b >= len(members))
+            if len(members) <= buckets[-1]
+            else len(members)
+        )
+        cs = np.zeros((W, B * T), np.int32)
+        cn = np.zeros((W, B * T), np.int32)
+        weights = np.zeros((B, nw), np.float32)
+        for bi, (qi, plan) in enumerate(members):
+            tids = [seg.term_id(t) for t in plan.term_texts]
+            c_s, c_n = compute_cells(seg, tids)
+            cs[:, bi * T : bi * T + plan.n_slots] = c_s
+            cn[:, bi * T : bi * T + plan.n_slots] = c_n
+            weights[bi] = [
+                model.weight([df_of(t) for t in terms], docs_cnt)
+                for terms in plan.weight_terms
+            ]
+        C = min(get_config().phrase_candidate_cap, WINDOW_SIZE)
+        while True:
+            fa = _build_phrase_batch_a(phrase_slots, W, T, B, C, self.interpret)
+            freq, per_phrase = fa(
+                self.bmeta, self.planes, jnp.asarray(cs), jnp.asarray(cn)
+            )
+            max_cnt = max(
+                int(np.asarray(cnt).max(initial=0))
+                for _, _, cnt, _, _ in per_phrase
+            )
+            if max_cnt <= C or C >= WINDOW_SIZE:
+                break
+            C = WINDOW_SIZE
+        phrase_ids, phrase_freqs = [], []
+        for slots, (ki, valid, cnt, pf, po) in zip(phrase_slots, per_phrase):
+            kk = len(slots)
+            valid_h = np.asarray(valid).reshape(-1)
+            pf_h = np.asarray(pf).reshape(-1, kk)
+            po_h = np.asarray(po).reshape(-1, kk)
+            pfreq = verify_phrase_candidates(seg.positions, valid_h, pf_h, po_h)
+            vals = pfreq.reshape(B, W, C).astype(np.float32) * np.asarray(valid)
+            phrase_ids.append(ki)
+            phrase_freqs.append(jnp.asarray(vals))
+        fc = _build_phrase_batch_c(
+            key, scorer, W, T, B, k, C, len(phrases), self.interpret
+        )
+        return fc(
+            freq,
+            phrase_ids,
+            phrase_freqs,
+            jnp.asarray(weights),
+            np.int32(seg.n_docs),
+            self._deleted,
+        )
+
     def _run_phrase(self, plan, cs, cn, weights, scorer, k, mode):
         """Three-pass phrase execution: device candidate extraction (pass A),
         host position verification (pass B, exec/phrases.py), device tape
@@ -617,7 +785,9 @@ class Executor:
         W = seg.n_windows
         phrases = collect_phrases(plan.tape)
         phrase_slots = tuple(slots for slots, _ in phrases)
-        C = min(2048, WINDOW_SIZE)
+        from trinity_tpu.config import get_config
+
+        C = min(get_config().phrase_candidate_cap, WINDOW_SIZE)
         while True:
             fa = _build_phrase_pass_a(
                 phrase_slots, W, _pad_T(plan.n_slots), C, self.interpret
@@ -628,7 +798,7 @@ class Executor:
             )
             if max_cnt <= C or C >= WINDOW_SIZE:
                 break
-            C = WINDOW_SIZE if max_cnt > 8192 else 8192  # grow and retry
+            C = WINDOW_SIZE  # one growth step: bounds kernel variants
 
         phrase_ids = []
         phrase_freqs = []

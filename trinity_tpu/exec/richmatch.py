@@ -162,7 +162,7 @@ def exec_rich(
     executor,
     query,
     on_match: Callable[[MatchedDocument], None],
-    candidate_cap: int = 2048,
+    candidate_cap: Optional[int] = None,
 ) -> int:
     """Default-mode execution: invokes on_match(MatchedDocument) for every
     matching document in ascending doc order (exec.cpp default mode).
@@ -192,6 +192,10 @@ def exec_rich(
     if pad:
         cs = np.pad(cs, ((0, 0), (0, pad)))
         cn = np.pad(cn, ((0, 0), (0, pad)))
+    if candidate_cap is None:
+        from trinity_tpu.config import get_config
+
+        candidate_cap = get_config().rich_candidate_cap
     C = min(candidate_cap, WINDOW_SIZE)
     while True:
         fn = _build_rich_fn(relaxed, W, T, C, executor.interpret)
@@ -229,25 +233,32 @@ def exec_rich(
                 break
             local = w * WINDOW_SIZE + int(ki[w, c])
             doc_terms: Dict[str, List[int]] = {}
+            doc_offs: Dict[str, int] = {}
             for s, text in enumerate(plan.term_texts):
                 f = int(pf[w, c, s])
                 if f > 0:
                     o = int(po[w, c, s])
                     doc_terms[text] = [int(p) for p in positions[o : o + f]]
+                    doc_offs[text] = o
             matched, _ = _eval(root, doc_terms, sc, weights_cache)
             if not matched:
                 continue  # relaxed candidate that fails exact (phrase) check
             dws = DocWordsSpace()
             mts = []
+            payloads = seg.payloads
             for text, pos_list in doc_terms.items():
                 for p in pos_list:
                     dws.set(text, p)
-                mts.append(
-                    MatchedTerm(
-                        term=text,
-                        freq=len(pos_list),
-                        hits=[TermHit(p) for p in pos_list],
+                o = doc_offs[text]
+                hits = [
+                    TermHit(
+                        p,
+                        int(payloads[o + i]) if payloads is not None else 0,
                     )
+                    for i, p in enumerate(pos_list)
+                ]
+                mts.append(
+                    MatchedTerm(term=text, freq=len(pos_list), hits=hits)
                 )
             md = MatchedDocument(
                 doc_id=int(seg.doc_map[local]), matched_terms=mts, dws=dws
