@@ -510,8 +510,8 @@ class Executor:
                     np.int32(seg.n_docs),
                     self._deleted,
                 )
-        gv = np.asarray(gv)
-        gi = np.asarray(gi)
+        jax, _ = _lazy_jax()
+        gv, gi = jax.device_get((gv, gi))  # one transfer for both
         out = []
         for v, i in zip(gv, gi):
             if v == NEG_INF:
