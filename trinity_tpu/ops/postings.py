@@ -43,6 +43,8 @@ from trinity_tpu.limits import TILE, WINDOW_SIZE
 MAXB = 136  # max blocks per cell (>= 131), multiple of 8
 MAXROWS = 208  # max packed word-rows per cell (>= ceil(131*48/32)+2)
 ROW_CHUNK = 32  # plane rows per DMA chunk (16 KiB)
+GROUP = 16  # blocks decoded per inner-loop iteration (compiled path)
+GROUP_INTERPRET = 2  # smaller group for interpret-mode tests (CPU)
 # bmeta columns. Metadata of 16 blocks is packed per 128-lane row (block b ->
 # row b//16, lanes (b%16)*8 + col) so cell DMAs slice full rows — Mosaic
 # requires last-dim slices to be 128-aligned.
@@ -72,7 +74,7 @@ def _prefix_sum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _make_kernel(with_offsets: bool):
+def _make_kernel(with_offsets: bool, group: int = GROUP):
     """Kernel factory: with_offsets adds a hits-offset tile output (the
     device analog of the skiplist's totalHitsSoFar addressing,
     lucene_codec.h:259-266) so phrase verification can gather each matched
@@ -95,6 +97,7 @@ def _make_kernel(with_offsets: bool):
             meta_s,
             rows_s,
             sems,
+            group,
         )
 
     return kernel
@@ -112,6 +115,7 @@ def _freq_tiles_body(
     meta_s,  # SMEM (META_ROWS, 128) i32
     rows_s,  # VMEM (MAXROWS + 40, 128) u32
     sems,  # DMA semaphores (2,)
+    GROUP,  # blocks per inner-loop iteration
 ):
     w = pl.program_id(0)
     t = pl.program_id(1)
@@ -154,66 +158,106 @@ def _freq_tiles_body(
 
         jax.lax.fori_loop(0, nchunks, dma_chunk, 0)
 
-        lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
         iota_col = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-        u = jax.lax.broadcasted_iota(jnp.int32, (3 * 32, TILE), 0)
 
-        def nt_scatter(a, vals):
-            """acc[h, l] += sum_p a[h, p] * vals(p)[l, p] via one MXU matmul."""
+        def nt_scatter(a, v):
+            """acc[h, l] += sum_p a[h, p] * v[l, p] — one NT MXU matmul."""
             return jax.lax.dot_general(
                 a,
-                vals,
+                v,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        def block_body(j, carry):
-            poff = meta(j, C_POFF)
-            bd = meta(j, C_BD)
-            bf = meta(j, C_BF)
-            first = meta(j, C_FIRST)
-            count = meta(j, C_COUNT)
+        def bitfield(wlo, whi, sh, width):
+            """Extract a contiguous bit-field [sh, sh+width) from the 64-bit
+            lane value (wlo | whi << 32). All (G, 128) vector ops; sh and
+            width are (G, 1) columns. The transposed plane layout makes a
+            value exactly such a field — no per-bit expansion needed."""
+            lo = jax.lax.shift_right_logical(wlo, sh)
+            hi = jnp.where(sh == 0, 0, whi << ((32 - sh) & 31))
+            mask = jnp.where(width >= 32, -1, (1 << jnp.clip(width, 0, 31)) - 1)
+            return (lo | hi) & mask
 
-            local_r = poff // 32 - r0
-            words = rows_s[pl.ds(local_r, 3), :]  # (3, 128) u32
-            bits = _expand_bits(words)  # (96, 128)
-            q = poff % 32
-            wd = jnp.where(
-                (u >= q) & (u < q + bd), 1 << jnp.clip(u - q, 0, 31), 0
+        def group_body(g, carry):
+            """Decode GROUP blocks per iteration. A block's value bits form a
+            contiguous bit-field of its 3-word plane column (utils/bitpack.py
+            layout), so decode = a handful of shift/or/mask vector ops."""
+            jbase = g * GROUP
+            js = [jnp.minimum(jbase + i, n - 1) for i in range(GROUP)]
+            col = lambda vals, dt=jnp.int32: jnp.concatenate(
+                [jnp.full((1, 1), v, dt) for v in vals], axis=0
+            )  # (G, 1) from G scalars
+            poffs = [meta(js[i], C_POFF) for i in range(GROUP)]
+            lrs = [p // 32 - r0 for p in poffs]
+            q4 = col([p % 32 for p in poffs])
+            bd4 = col([meta(js[i], C_BD) for i in range(GROUP)])
+            bf4 = col([meta(js[i], C_BF) for i in range(GROUP)])
+            first4 = col([meta(js[i], C_FIRST) for i in range(GROUP)])
+            count4 = col([meta(js[i], C_COUNT) for i in range(GROUP)])
+            active4 = col(
+                [(jbase + i < n).astype(jnp.int32) for i in range(GROUP)]
             )
-            wf = jnp.where(
-                (u >= q + bd) & (u < q + bd + bf),
-                1 << jnp.clip(u - q - bd, 0, 31),
-                0,
+            w0 = jnp.concatenate(
+                [rows_s[pl.ds(lr, 1), :] for lr in lrs], axis=0
+            ).astype(jnp.int32)
+            w1 = jnp.concatenate(
+                [rows_s[pl.ds(lr + 1, 1), :] for lr in lrs], axis=0
+            ).astype(jnp.int32)
+            w2 = jnp.concatenate(
+                [rows_s[pl.ds(lr + 2, 1), :] for lr in lrs], axis=0
+            ).astype(jnp.int32)
+            # doc-delta field starts at q (< 32) -> words (w0, w1)
+            deltas = bitfield(w0, w1, q4, bd4)
+            # freq field starts at q + bd (may be >= 32) -> shift word pair
+            s2 = q4 + bd4
+            in_lo = s2 < 32
+            f1 = bitfield(
+                jnp.where(in_lo, w0, w1),
+                jnp.where(in_lo, w1, w2),
+                s2 & 31,
+                bf4,
             )
-            deltas = jnp.sum(bits * wd, axis=0, keepdims=True)  # (1,128)
-            f1 = jnp.sum(bits * wf, axis=0, keepdims=True)  # (1,128) freq-1
-            docs = first + _prefix_sum_lanes(deltas)  # (1,128) local docids
-            valid = (
-                (lanes1 < count) & (docs >= wbase) & (docs < wbase + WINDOW_SIZE)
-            )
+            docs = first4 + _prefix_sum_lanes(deltas)  # (G,128)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (GROUP, TILE), 1)
+            # validity folds into the scattered VALUES, not the one-hot:
+            # out-of-window docids already miss every one-hot row, and lane
+            # padding duplicates the last real docid, contributing +0.
+            valid = (lanes < count4) & (active4 > 0)
             local = docs - wbase
-            hi = local >> 7  # (1,128)
+            hi = local >> 7
             lo = local & 127
-            # A'[h, p] = valid & (hi[p] == h); B'[l, p] = freq[p] * (lo[p] == l)
-            a = ((hi == iota_col) & valid).astype(jnp.float32)
-            onehot_lo = lo == iota_col
-            freqs = (f1 + 1).astype(jnp.float32)
-            acc = carry[0] + nt_scatter(a, jnp.where(onehot_lo, freqs, 0.0))
+            freqs = jnp.where(valid, (f1 + 1), 0).astype(jnp.float32)
+            if off_ref is not None:
+                epf = _prefix_sum_lanes(f1 + 1) - (f1 + 1)
+                hits4 = col([meta(js[i], C_HITS) for i in range(GROUP)])
+                off = jnp.where(valid, hits4 + epf, 0)  # (G,128)
+                off_hi = (off >> 12).astype(jnp.float32)
+                off_lo = (off & 4095).astype(jnp.float32)
+            # per-block one-hot scatters from the group-decoded rows
+            acc = carry[0]
+            acc_hi = carry[1] if off_ref is not None else None
+            acc_lo = carry[2] if off_ref is not None else None
+            for i in range(GROUP):
+                a = (hi[i : i + 1, :] == iota_col).astype(jnp.float32)
+                onehot_lo = lo[i : i + 1, :] == iota_col
+                acc = acc + nt_scatter(
+                    a, jnp.where(onehot_lo, freqs[i : i + 1, :], 0.0)
+                )
+                if off_ref is not None:
+                    acc_hi = acc_hi + nt_scatter(
+                        a, jnp.where(onehot_lo, off_hi[i : i + 1, :], 0.0)
+                    )
+                    acc_lo = acc_lo + nt_scatter(
+                        a, jnp.where(onehot_lo, off_lo[i : i + 1, :], 0.0)
+                    )
             if off_ref is None:
                 return (acc,)
-            # per-posting hits offset = block hits base + exclusive freq prefix
-            epf = _prefix_sum_lanes(f1 + 1) - (f1 + 1)
-            off = meta(j, C_HITS) + epf
-            off_hi = (off >> 12).astype(jnp.float32)
-            off_lo = (off & 4095).astype(jnp.float32)
-            acc_hi = carry[1] + nt_scatter(a, jnp.where(onehot_lo, off_hi, 0.0))
-            acc_lo = carry[2] + nt_scatter(a, jnp.where(onehot_lo, off_lo, 0.0))
             return (acc, acc_hi, acc_lo)
 
         z = jnp.zeros((TILE, TILE), jnp.float32)
         init = (z,) if off_ref is None else (z, z, z)
-        carry = jax.lax.fori_loop(0, n, block_body, init)
+        carry = jax.lax.fori_loop(0, pl.cdiv(n, GROUP), group_body, init)
         out_ref[0, 0, :, :] = carry[0]
         if off_ref is not None:
             off_ref[0, 0, :, :] = (
@@ -266,7 +310,7 @@ def materialize_freq_tiles(
         ],
     )
     return pl.pallas_call(
-        _make_kernel(with_offsets),
+        _make_kernel(with_offsets, GROUP_INTERPRET if interpret else GROUP),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
