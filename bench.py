@@ -28,7 +28,7 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 BASELINE_QPS = 2000.0
-N_DOCS = 131_072
+N_DOCS = 1_048_576
 VOCAB = 20_000
 SEED = 1234
 
@@ -42,14 +42,12 @@ def build_corpus():
     sess = SegmentIndexSession()
     lengths = rng.integers(6, 24, size=N_DOCS)
     all_tokens = rng.choice(VOCAB, size=int(lengths.sum()), p=zipf)
-    o = 0
-    for d in range(N_DOCS):
-        n = int(lengths[d])
-        p = sess.begin(d)
-        for pos in range(n):
-            p.insert(f"w{int(all_tokens[o + pos])}", pos + 1)
-        o += n
-        sess.insert(p)
+    names = np.array([f"w{i}" for i in range(VOCAB)], dtype=object)
+    toks = names[all_tokens]
+    bounds = np.zeros(N_DOCS + 1, np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    docs = [toks[bounds[d] : bounds[d + 1]].tolist() for d in range(N_DOCS)]
+    sess.bulk_index(range(N_DOCS), docs)
     return sess.commit()
 
 

@@ -1,0 +1,89 @@
+"""Block-max pruned top-k (WAND analog) exactness vs the dense path."""
+
+import numpy as np
+import pytest
+
+from trinity_tpu.exec import Executor
+from tests.test_exec_e2e import make_corpus, ids
+
+
+@pytest.fixture(scope="module")
+def big():
+    rng = np.random.default_rng(41)
+    seg, corpus = make_corpus(
+        rng, n_docs=80_000, vocab=2000, doc_len_rng=(3, 12), id_stride=1
+    )
+    return Executor(seg), corpus
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        "t0",
+        "t3 OR t9 OR t21",
+        "t1 OR t500 OR t1999",
+        "t0 t1",
+        "t5 t9 t13",
+        "t1999",  # rare
+    ],
+)
+def test_pruned_exact(big, qtext):
+    ex, _ = big
+    dense = ex.search(qtext, k=10)
+    pruned = ex.search_pruned(qtext, k=10, chunk_windows=2)
+    assert [(r.doc_id, r.score) for r in pruned] == [
+        (r.doc_id, r.score) for r in dense
+    ], qtext
+
+
+def test_pruned_fallback_on_complex(big):
+    ex, _ = big
+    q = "t0 NOT t1"
+    assert [(r.doc_id, r.score) for r in ex.search_pruned(q, k=10)] == [
+        (r.doc_id, r.score) for r in ex.search(q, k=10)
+    ]
+
+
+def test_pruned_skips_windows():
+    """With a skewed corpus (high-scoring docs concentrated in one window)
+    the bound must actually prune: count device chunk evaluations."""
+    from trinity_tpu.index.builder import SegmentIndexSession
+
+    sess = SegmentIndexSession()
+    docs = []
+    ids = []
+    for d in range(100_000):
+        # window 2 (docids 32768..49151) holds all the high-freq docs
+        if 40_000 <= d < 40_100:
+            docs.append(["hot"] * 8 + ["filler"])
+        else:
+            docs.append(["hot", "filler"] if d % 7 == 0 else ["filler"])
+        ids.append(d)
+    sess.bulk_index(ids, docs)
+    ex = Executor(sess.commit())
+
+    import trinity_tpu.exec.executor as E
+
+    calls = [0]
+    orig = E._build_pruned_fn
+
+    def counting(*a, **kw):
+        fn = orig(*a, **kw)
+
+        def wrapped(*args):
+            calls[0] += 1
+            return fn(*args)
+
+        return wrapped
+
+    E._build_pruned_fn = counting
+    try:
+        pruned = ex.search_pruned("hot", k=10, chunk_windows=1)
+    finally:
+        E._build_pruned_fn = orig
+    dense = ex.search("hot", k=10)
+    assert [(r.doc_id, r.score) for r in pruned] == [
+        (r.doc_id, r.score) for r in dense
+    ]
+    W = ex.seg.n_windows
+    assert calls[0] < W, f"no pruning happened ({calls[0]} of {W} windows)"

@@ -174,6 +174,69 @@ def _build_search_fn(tape, scorer_name, W, T, k, interpret, mode):
     return jax.jit(run, static_argnames=())
 
 
+def _flat_tok_slots(tape):
+    """If the tape is a flat AND/OR of tokens, return (kind, [(slot, widx)]);
+    else None. The shapes block-max pruning has tight bounds for."""
+    kind = tape[0]
+    if kind == "tok":
+        return ("or", [(tape[1], tape[2])])
+    if kind not in ("and", "or"):
+        return None
+    toks = []
+
+    def walk(n):
+        if n[0] == "tok":
+            toks.append((n[1], n[2]))
+            return True
+        if n[0] == kind:
+            return walk(n[1]) and walk(n[2])
+        return False
+
+    if not walk(tape):
+        return None
+    return (kind, toks)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_pruned_fn(tape, scorer_name, M, T, k, interpret):
+    """Chunk evaluator for pruned search: M gathered windows -> top-k."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(bmeta, planes, cs, cn, window_base, weights, n_docs, deleted):
+        tiles = materialize_freq_tiles(
+            bmeta,
+            planes,
+            cs,
+            cn,
+            window_base,
+            n_windows=M,
+            n_terms=T,
+            interpret=interpret,
+        )
+        freq = tiles.reshape(M, T, WINDOW_SIZE)
+        mask, score = _eval_tape(tape, freq, weights, scorer_cls, jnp)
+        gid = (
+            window_base[:, None] * WINDOW_SIZE
+            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+        )
+        mask = mask & (gid < n_docs)
+        if deleted is not None:
+            mask = mask & deleted_take(deleted, gid, jnp)
+        scores = jnp.where(mask, score, NEG_INF)
+        pv, pi = jax.lax.top_k(scores, k)  # (M, k)
+        return pv.reshape(-1), (gid[:, 0][:, None] + pi).reshape(-1)
+
+    return jax.jit(run)
+
+
+def deleted_take(deleted, gid, jnp):
+    """Gather ~deleted at global ids (pruned path evaluates a window subset)."""
+    return ~deleted[gid]
+
+
 @functools.lru_cache(maxsize=512)
 def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
     """Batched execution: B same-shape queries share ONE device program —
@@ -564,6 +627,117 @@ class Executor:
                     break
                 res.append(SearchResult(int(seg.doc_map[i]), float(v)))
             out.append(res)
+        return out
+
+    def search_pruned(
+        self,
+        query,
+        k: int = 10,
+        scorer: str = "bm25",
+        chunk_windows: int = 16,
+        stats=None,
+        df_of=None,
+    ) -> List[SearchResult]:
+        """Block-max pruned top-k (the WAND/skip-based-pruning analog,
+        BASELINE config #2; reference cost-ordered lazy advancement,
+        docset_iterators.h:38-60). Exact results: a per-window score upper
+        bound is computed from per-block max frequencies; windows are
+        evaluated in descending-bound chunks and evaluation stops once the
+        running k-th score exceeds every remaining window's bound.
+
+        Falls back to search() for plans where a tight bound isn't
+        implemented (anything but flat disjunctions/conjunctions of tokens).
+        """
+        jax, jnp = _lazy_jax()
+        from trinity_tpu.ops.postings import compute_cells
+
+        prep = self._prepare(query, scorer, stats, df_of)
+        if prep is None:
+            return []
+        plan, cs, cn, weights = prep
+        flat = _flat_tok_slots(plan.tape)
+        if flat is None or plan.has_phrase:
+            return self.search(query, k, scorer, stats, df_of)
+        seg = self.seg
+        W = seg.n_windows
+        cs_h = np.asarray(cs)
+        cn_h = np.asarray(cn)
+        model = SIMILARITIES[scorer]
+        w_h = np.asarray(weights)
+        # per-window upper bound: sum of term bounds from block max freqs
+        ub = np.zeros(W, np.float64)
+        for ti, widx in flat[1]:
+            starts = cs_h[:, ti]
+            counts = cn_h[:, ti]
+            has = counts > 0
+            if not has.any():
+                continue
+            mf = np.zeros(W, np.int64)
+            idx = np.flatnonzero(has)
+            red = np.maximum.reduceat(
+                np.asarray(self.seg.block_max_freq, np.int64),
+                starts[idx],
+            ) if len(idx) else np.zeros(0, np.int64)
+            # reduceat segments run to the next start; also include the last
+            # block of each cell (cells can overlap at window boundaries)
+            mf[idx] = np.maximum(
+                red[: len(idx)],
+                self.seg.block_max_freq[starts[idx] + counts[idx] - 1],
+            )
+            ub += np.where(
+                has, model.score_tile(mf.astype(np.float32), w_h[widx]), 0.0
+            )
+        if flat[0] == "and":
+            # conjunction bound: min over terms is tighter, but the sum is
+            # still a valid upper bound; windows missing any term score 0
+            present = np.ones(W, bool)
+            for ti, _ in flat[1]:
+                present &= cn_h[:, ti] > 0
+            ub = np.where(present, ub, 0.0)
+
+        order = np.argsort(-ub, kind="stable").astype(np.int32)
+        results_v = np.zeros(0, np.float32)
+        results_i = np.zeros(0, np.int64)
+        T = cs_h.shape[1]
+        fn = _build_pruned_fn(
+            plan.tape, scorer, chunk_windows, T, k, self.interpret
+        )
+        for c0 in range(0, W, chunk_windows):
+            sel = order[c0 : c0 + chunk_windows]
+            if len(results_v) >= k:
+                theta = results_v[k - 1]
+                # strict: a tied doc in an unevaluated window could still win
+                # on the docid tie-break
+                if ub[sel].max(initial=0.0) < theta:
+                    break  # no remaining window can beat the k-th score
+            pad = chunk_windows - len(sel)
+            selp = np.pad(sel, (0, pad), constant_values=0)
+            csel = np.pad(cs_h[sel], ((0, pad), (0, 0)))
+            nsel = np.pad(cn_h[sel], ((0, pad), (0, 0)))
+            wb = jnp.asarray(selp)
+            if pad:
+                nsel[len(sel):] = 0
+            gv, gi = jax.device_get(
+                fn(
+                    self.bmeta,
+                    self.planes,
+                    jnp.asarray(csel),
+                    jnp.asarray(nsel),
+                    wb,
+                    weights,
+                    np.int32(seg.n_docs),
+                    self._deleted,
+                )
+            )
+            keep = gv > NEG_INF
+            results_v = np.concatenate([results_v, gv[keep]])
+            results_i = np.concatenate([results_i, gi[keep].astype(np.int64)])
+            # deterministic running order: score desc, docid asc
+            o = np.lexsort((results_i, -results_v))
+            results_v, results_i = results_v[o][: 2 * k], results_i[o][: 2 * k]
+        out = []
+        for v, i in zip(results_v[:k], results_i[:k]):
+            out.append(SearchResult(int(seg.doc_map[i]), float(v)))
         return out
 
     def search_batch(

@@ -87,6 +87,33 @@ class SegmentIndexSession:
             raise ValueError(f"document {proxy.doc_id} committed twice")
         self._docs[proxy.doc_id] = proxy.hits
 
+    def bulk_index(self, doc_ids, docs_tokens, first_pos: int = 1) -> None:
+        """Vectorized batch ingestion: one np.unique interning pass over the
+        whole batch instead of per-token dict lookups — the bulk analog of
+        the reference's buffered commit pipeline (indexer.cpp:311-420).
+        docs_tokens: sequence of token lists, positions assigned
+        first_pos..len (token-parser output order)."""
+        flat = [t for toks in docs_tokens for t in toks]
+        if not flat:
+            for d in doc_ids:
+                self._commit_document(DocumentProxy(self, int(d)))
+            return
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        base = np.asarray([self._intern(t) for t in uniq.tolist()], np.int64)
+        tids = base[inv]
+        o = 0
+        for d, toks in zip(doc_ids, docs_tokens):
+            n = len(toks)
+            d = int(d)
+            if d in self._docs:
+                raise ValueError(f"document {d} committed twice")
+            # bulk documents store hits as arrays (fast path in commit)
+            self._docs[d] = (
+                tids[o : o + n],
+                np.arange(first_pos, first_pos + n, dtype=np.int64),
+            )
+            o += n
+
     # -------------------------------------------------------------- commit
     def commit(self) -> SegmentData:
         app_ids = np.array(sorted(self._docs), dtype=np.uint32)
@@ -94,7 +121,10 @@ class SegmentIndexSession:
         local_of = {int(a): i for i, a in enumerate(app_ids)}
 
         # flatten all hits into arrays: (intern tid, local doc, pos, payload)
-        total = sum(len(h) for h in self._docs.values())
+        def nhits(h):
+            return len(h[0]) if isinstance(h, tuple) else len(h)
+
+        total = sum(nhits(h) for h in self._docs.values())
         tid_a = np.empty(total, np.int64)
         doc_a = np.empty(total, np.int64)
         pos_a = np.empty(total, np.int64)
@@ -102,6 +132,15 @@ class SegmentIndexSession:
         o = 0
         for app_id, hits in self._docs.items():
             ld = local_of[app_id]
+            if isinstance(hits, tuple):  # bulk_index array fast path
+                n = len(hits[0])
+                tid_a[o : o + n] = hits[0]
+                doc_a[o : o + n] = ld
+                pos_a[o : o + n] = hits[1]
+                if pay_a is not None:
+                    pay_a[o : o + n] = 0
+                o += n
+                continue
             for t, p, pl in hits:
                 tid_a[o] = t
                 doc_a[o] = ld
@@ -207,6 +246,7 @@ def _build_segment(
             block_bits_doc,
             block_bits_freq,
             block_hits_off,
+            block_max_freq,
             planes,
         ) = native_out
     else:
@@ -218,6 +258,7 @@ def _build_segment(
             block_bits_doc,
             block_bits_freq,
             block_hits_off,
+            block_max_freq,
             planes,
         ) = _build_blocks_numpy(
             posting_start, p_doc, p_freq, p_start, n_terms, n_blocks, term_block_start
@@ -243,6 +284,7 @@ def _build_segment(
         block_bits_doc=block_bits_doc,
         block_bits_freq=block_bits_freq,
         block_hits_off=block_hits_off,
+        block_max_freq=block_max_freq,
         planes=planes,
         positions=pos_a.astype(np.uint16),
         payloads=pay_a if pay_a is not None else None,
@@ -263,6 +305,7 @@ def _build_blocks_numpy(
     block_bits_doc = np.zeros(n_blocks, np.uint8)
     block_bits_freq = np.zeros(n_blocks, np.uint8)
     block_hits_off = np.zeros(n_blocks, np.uint32)
+    block_max_freq = np.zeros(n_blocks, np.uint16)
     plane_parts = []
     plane_off = 0
     for t in range(n_terms):
@@ -288,6 +331,7 @@ def _build_blocks_numpy(
             block_bits_doc[b] = bd
             block_bits_freq[b] = bf
             block_hits_off[b] = p_start[off]
+            block_max_freq[b] = freqs.max()
             plane_off += bd + bf
     all_rows = (
         np.concatenate(plane_parts)
@@ -303,5 +347,6 @@ def _build_blocks_numpy(
         block_bits_doc,
         block_bits_freq,
         block_hits_off,
+        block_max_freq,
         planes,
     )

@@ -82,6 +82,7 @@ class SegmentData:
     block_bits_doc: np.ndarray  # u8 [n_blocks]
     block_bits_freq: np.ndarray  # u8 [n_blocks]
     block_hits_off: np.ndarray  # u32 [n_blocks] offset into positions
+    block_max_freq: np.ndarray  # u16 [n_blocks] max freq in block (WAND bound)
     # payload streams
     planes: np.ndarray  # u32 [R, 128] packed plane matrix (bitpack.py)
     positions: np.ndarray  # u16 [total_hits]
@@ -129,6 +130,7 @@ class SegmentData:
         "block_bits_doc",
         "block_bits_freq",
         "block_hits_off",
+        "block_max_freq",
         "planes",
         "positions",
         "updated_ids",

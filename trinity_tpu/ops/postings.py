@@ -48,7 +48,7 @@ GROUP_INTERPRET = 2  # smaller group for interpret-mode tests (CPU)
 # bmeta columns. Metadata of 16 blocks is packed per 128-lane row (block b ->
 # row b//16, lanes (b%16)*8 + col) so cell DMAs slice full rows — Mosaic
 # requires last-dim slices to be 128-aligned.
-C_POFF, C_BD, C_BF, C_FIRST, C_COUNT, C_HITS, C_LAST, C_PAD = range(8)
+C_POFF, C_BD, C_BF, C_FIRST, C_COUNT, C_HITS, C_LAST, C_MAXF = range(8)
 META_COLS = 8
 META_PER_ROW = 16  # blocks per bmeta row
 # rows DMA'd per cell: >= MAXB/16 + 1 to cover the offset remainder, and a
@@ -81,7 +81,7 @@ def _make_kernel(with_offsets: bool, group: int = GROUP):
     posting's position run. Offsets are scattered exactly via two f32
     matmuls (hi = off >> 12 < 2^19 and lo = off & 4095 are both < 2^24)."""
 
-    def kernel(cell_start_ref, cell_nblocks_ref, bmeta_ref, planes_ref, *rest):
+    def kernel(cell_start_ref, cell_nblocks_ref, wbase_ref, bmeta_ref, planes_ref, *rest):
         if with_offsets:
             out_ref, off_ref, meta_s, rows_s, sems = rest
         else:
@@ -90,6 +90,7 @@ def _make_kernel(with_offsets: bool, group: int = GROUP):
         _freq_tiles_body(
             cell_start_ref,
             cell_nblocks_ref,
+            wbase_ref,
             bmeta_ref,
             planes_ref,
             out_ref,
@@ -107,6 +108,7 @@ def _freq_tiles_body(
     # scalar prefetch
     cell_start_ref,  # SMEM (W, T) i32
     cell_nblocks_ref,  # SMEM (W, T) i32
+    wbase_ref,  # SMEM (W,) i32 — window index per grid row (gather support)
     # inputs
     bmeta_ref,  # ANY/HBM (n_meta_rows, 128) i32 — 16 blocks per row
     planes_ref,  # ANY/HBM (R_pad, 128) u32
@@ -120,7 +122,7 @@ def _freq_tiles_body(
     w = pl.program_id(0)
     t = pl.program_id(1)
     n = cell_nblocks_ref[w, t]
-    wbase = w * WINDOW_SIZE
+    wbase = wbase_ref[w] * WINDOW_SIZE
 
     out_ref[0, 0, :, :] = jnp.zeros((TILE, TILE), jnp.float32)
     if off_ref is not None:
@@ -274,6 +276,7 @@ def materialize_freq_tiles(
     planes: jnp.ndarray,  # (R_pad, 128) u32, padded by >= MAXROWS + 48 rows
     cell_start: jnp.ndarray,  # (W, T) i32
     cell_nblocks: jnp.ndarray,  # (W, T) i32
+    window_base: jnp.ndarray = None,  # (W,) i32 window ids (default arange)
     *,
     n_windows: int,
     n_terms: int,
@@ -281,7 +284,11 @@ def materialize_freq_tiles(
     with_offsets: bool = False,
 ):
     """Returns f32[W, T, 128, 128] frequency tiles (0 = term absent); with
-    with_offsets also returns i32[W, T, 128, 128] hits-offset tiles."""
+    with_offsets also returns i32[W, T, 128, 128] hits-offset tiles.
+    window_base lets a caller evaluate a gathered SUBSET of windows (the
+    pruned top-k path): grid row w holds window window_base[w]."""
+    if window_base is None:
+        window_base = jnp.arange(n_windows, dtype=jnp.int32)
     tile_spec = pl.BlockSpec((1, 1, TILE, TILE), lambda w, t, *_: (w, t, 0, 0))
     tile_shape = jax.ShapeDtypeStruct(
         (n_windows, n_terms, TILE, TILE), jnp.float32
@@ -296,7 +303,7 @@ def materialize_freq_tiles(
         out_specs = tile_spec
         out_shape = tile_shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_windows, n_terms),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -314,7 +321,7 @@ def materialize_freq_tiles(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(cell_start, cell_nblocks, bmeta, planes)
+    )(cell_start, cell_nblocks, window_base, bmeta, planes)
 
 
 # ------------------------------------------------------------ host helpers
@@ -333,6 +340,7 @@ def pack_block_meta(seg) -> np.ndarray:
     m[:n, C_COUNT] = seg.block_count
     m[:n, C_HITS] = seg.block_hits_off
     m[:n, C_LAST] = seg.block_last_doc
+    m[:n, C_MAXF] = seg.block_max_freq
     return m.reshape(rows, META_PER_ROW * META_COLS)
 
 

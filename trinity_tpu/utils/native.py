@@ -98,6 +98,15 @@ def build_blocks(
     if used < 0:
         raise ValueError("native block build rejected postings (order/freq)")
     rows = -(-int(used) // 32)
+    # block max freq (WAND bound): one segmented reduction over postings
+    if n_blocks:
+        nb = np.maximum((np.diff(posting_start) + 127) // 128, 0)
+        base = np.repeat(posting_start[:-1], nb)
+        intra = np.arange(n_blocks) - np.repeat(np.cumsum(nb) - nb, nb)
+        starts = (base + intra * 128).astype(np.int64)
+        bmax = np.maximum.reduceat(p_freq, starts).astype(np.uint16)
+    else:
+        bmax = np.zeros(0, np.uint16)
     return (
         block_plane_off,
         block_first,
@@ -106,6 +115,7 @@ def build_blocks(
         bits_doc,
         bits_freq,
         block_hits_off,
+        bmax,
         planes[:rows].copy(),
     )
 
