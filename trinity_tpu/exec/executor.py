@@ -285,6 +285,47 @@ def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
 
 
 @functools.lru_cache(maxsize=256)
+def _build_phrase_lazy_a(slots, W, T, B, C2, interpret):
+    """Device pass for lazy single-phrase execution: rank ALL member-
+    conjunction candidates by the phrase-score bound (min member freq) with
+    one global top_k — flat index IS the local docid, so bound ties order
+    docid-ascending for free."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    def run(bmeta, planes, cell_start, cell_nblocks):
+        tiles, offs = materialize_freq_tiles(
+            bmeta,
+            planes,
+            cell_start,
+            cell_nblocks,
+            n_windows=W,
+            n_terms=B * T,
+            interpret=interpret,
+            with_offsets=True,
+        )
+        freq = tiles.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        offv = offs.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        n = W * WINDOW_SIZE
+        member_f = [freq[:, :, s, :].reshape(B, n) for s in slots]
+        member_o = [offv[:, :, s, :].reshape(B, n) for s in slots]
+        bound = member_f[0]
+        for f in member_f[1:]:
+            bound = jnp.minimum(bound, f)  # 0 if any member missing
+        kb, ki = jax.lax.top_k(bound, C2)  # (B, C2), ties -> lower docid
+        pf = jnp.stack(
+            [jnp.take_along_axis(f, ki, axis=1) for f in member_f], axis=-1
+        ).astype(jnp.int32)
+        po = jnp.stack(
+            [jnp.take_along_axis(o, ki, axis=1) for o in member_o], axis=-1
+        )
+        overflow = (bound > 0).sum(axis=1) > C2
+        return ki, kb.astype(jnp.int32), pf, po, overflow
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=256)
 def _build_phrase_batch_a(phrase_slots, W, T, B, C, interpret):
     """Batched phrase pass A: B same-shape phrase queries in one program.
     Returns per-query freq (B, W, T, N) plus per-phrase candidate data."""
@@ -473,6 +514,7 @@ class Executor:
         self.bmeta = jnp.asarray(pack_block_meta(seg))
         self.planes = jnp.asarray(pad_planes(seg.planes))
         self._deleted = None  # optional bool (W*WINDOW,) mask of masked docs
+        self._deleted_np = None  # host copy for lazy phrase verification
 
     # ------------------------------------------------------------ plumbing
     def set_masked_local_docs(self, local_ids: Optional[np.ndarray]):
@@ -482,11 +524,13 @@ class Executor:
         _, jnp = _lazy_jax()
         if local_ids is None or len(local_ids) == 0:
             self._deleted = None
+            self._deleted_np = None
             return
         W = self.seg.n_windows
         m = np.zeros(W * WINDOW_SIZE, bool)
         m[local_ids] = True
         self._deleted = jnp.asarray(m)
+        self._deleted_np = m
 
     def _prepare(self, query, scorer, stats=None, df_of=None):
         """Resolve terms, compute cells and weights. stats/df_of allow
@@ -872,11 +916,137 @@ class Executor:
         return seg.doc_map[local]
 
     # ------------------------------------------------------- phrase path
+    def _run_phrase_lazy_batch(self, key, members, k, scorer, model, docs_cnt, df_of):
+        """Lazy bound-ordered execution for single-phrase queries (the
+        dominant phrase shape): candidates rank on device by the phrase-score
+        upper bound (min member freq — phrase freq can't exceed it); the host
+        verifies positions in bound order and stops once the k-th verified
+        score strictly beats every remaining bound. Pulls kilobytes instead
+        of the padded (B, W, C) candidate tensors."""
+        from trinity_tpu.config import get_config
+        from trinity_tpu.exec.phrases import verify_phrase_candidates
+        from trinity_tpu.ops.postings import compute_cells
+
+        jax, jnp = _lazy_jax()
+        seg = self.seg
+        W = seg.n_windows
+        plan0 = members[0][1]
+        T = _pad_T(plan0.n_slots)
+        slots = key[1]
+        kk = len(slots)
+        buckets = get_config().batch_buckets
+        B = (
+            next(b for b in buckets if b >= len(members))
+            if len(members) <= buckets[-1]
+            else len(members)
+        )
+        cs = np.zeros((W, B * T), np.int32)
+        cn = np.zeros((W, B * T), np.int32)
+        weights = np.zeros(B, np.float32)
+        for bi, (qi, plan) in enumerate(members):
+            tids = [seg.term_id(t) for t in plan.term_texts]
+            c_s, c_n = compute_cells(seg, tids)
+            cs[:, bi * T : bi * T + plan.n_slots] = c_s
+            cn[:, bi * T : bi * T + plan.n_slots] = c_n
+            weights[bi] = model.weight(
+                [df_of(t) for t in plan.weight_terms[key[2]]], docs_cnt
+            )
+        C2 = 2048  # bound-ordered candidates pulled per query
+        fn = _build_phrase_lazy_a(slots, W, T, B, C2, self.interpret)
+        gids, bounds, pf, po, overflow = (
+            np.asarray(x)
+            for x in jax.device_get(
+                fn(self.bmeta, self.planes, jnp.asarray(cs), jnp.asarray(cn))
+            )
+        )
+        out_v = np.full((B, k), NEG_INF, np.float32)
+        out_i = np.zeros((B, k), np.int64)
+        deleted = self._deleted_np
+        for bi, (qi, plan) in enumerate(members):
+            got: List[Tuple[float, int]] = []
+            n_valid = int((bounds[bi] > 0).sum())
+            chunk = 256
+            resolved = n_valid == 0
+            for c0 in range(0, n_valid, chunk):
+                hi = min(c0 + chunk, n_valid)
+                pfreq = verify_phrase_candidates(
+                    seg.positions,
+                    np.ones(hi - c0, bool),
+                    pf[bi, c0:hi],
+                    po[bi, c0:hi],
+                )
+                bscore = model.score_tile(
+                    pfreq.astype(np.float32), np.float32(weights[bi])
+                )
+                for j in range(hi - c0):
+                    if pfreq[j] == 0:
+                        continue
+                    g = int(gids[bi, c0 + j])
+                    if deleted is not None and deleted[g]:
+                        continue
+                    got.append((float(bscore[j]), g))
+                got.sort(key=lambda t: (-t[0], t[1]))
+                got = got[: 2 * k]
+                if hi == n_valid:
+                    # all pulled candidates verified; exact unless truncated
+                    resolved = not (bool(overflow[bi]) or n_valid >= C2)
+                elif len(got) >= k:
+                    theta = got[k - 1][0]
+                    next_bound = float(
+                        model.score_tile(
+                            np.float32(bounds[bi, hi]), np.float32(weights[bi])
+                        )
+                    )
+                    if next_bound < theta:
+                        resolved = True
+                        break
+            if not resolved:
+                # bound order didn't resolve within the pulled candidates:
+                # dense fallback for this query alone (rare)
+                c_s, c_n = compute_cells(
+                    seg, [seg.term_id(t) for t in plan.term_texts]
+                )
+                pad = T - plan.n_slots
+                if pad:
+                    c_s = np.pad(c_s, ((0, 0), (0, pad)))
+                    c_n = np.pad(c_n, ((0, 0), (0, pad)))
+                wvec = np.array(
+                    [
+                        model.weight([df_of(t) for t in terms], docs_cnt)
+                        for terms in plan.weight_terms
+                    ],
+                    np.float32,
+                )
+                gv, gi = jax.device_get(
+                    self._run_phrase(
+                        plan,
+                        jnp.asarray(c_s),
+                        jnp.asarray(c_n),
+                        jnp.asarray(wvec),
+                        scorer,
+                        k,
+                        "search",
+                    )
+                )
+                nkeep = min(len(gv), k)
+                out_v[bi, :nkeep] = gv[:nkeep]
+                out_i[bi, :nkeep] = gi[:nkeep]
+                continue
+            for j, (v, g) in enumerate(got[:k]):
+                out_v[bi, j] = v
+                out_i[bi, j] = g
+        return out_v, out_i
+
     def _run_phrase_batch(self, key, members, k, scorer, model, docs_cnt, df_of):
         """Batched phrase execution for one tape-shape group: device pass A
         (B queries, candidates per phrase), one host verification pass over
         all candidates, device pass C — three round trips for the whole
-        group instead of per query."""
+        group instead of per query. Single-phrase tapes take the lazy
+        bound-ordered path instead."""
+        if key[0] == "phrase":
+            return self._run_phrase_lazy_batch(
+                key, members, k, scorer, model, docs_cnt, df_of
+            )
         from trinity_tpu.config import get_config
         from trinity_tpu.exec.phrases import (
             collect_phrases,
