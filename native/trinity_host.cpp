@@ -143,3 +143,37 @@ int64_t trin_pack_terms(int64_t n_terms, const uint8_t* blob,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Pack a value stream into 128-value plane-packed groups (the positions /
+// "hits" stream codec; layout contract in trinity_tpu/utils/bitpack.py
+// pack_value_groups). Caller allocates `words` zeroed with
+// ceil(sum(bits)/32)+1 rows of 128 u32 (worst case bits=32/group) and
+// `group_bits` (n_groups). Returns total plane rows used.
+int64_t trin_pack_value_groups(int64_t n_values, const uint32_t* values,
+                               uint32_t* words, uint8_t* group_bits) {
+  const int64_t n_groups = (n_values + kBlock - 1) / kBlock;
+  int64_t plane = 0;
+  for (int64_t g = 0; g < n_groups; ++g) {
+    const int64_t base = g * kBlock;
+    const int count =
+        static_cast<int>(n_values - base < kBlock ? n_values - base : kBlock);
+    uint32_t mx = 0;
+    for (int i = 0; i < count; ++i) mx |= values[base + i];
+    const int b = bit_width_u32(mx);
+    group_bits[g] = static_cast<uint8_t>(b);
+    for (int j = 0; j < b; ++j) {
+      const int64_t p = plane + j;
+      uint32_t* row = words + (p / kPlanesPerWord) * kBlock;
+      const uint32_t bit = 1u << (p % kPlanesPerWord);
+      for (int i = 0; i < count; ++i) {
+        if ((values[base + i] >> j) & 1u) row[i] |= bit;
+      }
+    }
+    plane += b;
+  }
+  return plane;
+}
+
+}  // extern "C"

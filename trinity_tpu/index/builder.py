@@ -264,6 +264,15 @@ def _build_segment(
             posting_start, p_doc, p_freq, p_start, n_terms, n_blocks, term_block_start
         )
 
+    from trinity_tpu.utils import native as _native
+    from trinity_tpu.utils.bitpack import pack_value_groups
+
+    pos_u32 = pos_a.astype(np.uint32)
+    packed_pos = _native.pack_value_groups(pos_u32)
+    if packed_pos is None:
+        packed_pos = pack_value_groups(pos_u32)
+    hit_planes, hit_group_off = packed_pos
+
     stats = FieldStatistics(
         sum_term_hits=int(total),
         total_terms=n_terms,
@@ -286,7 +295,8 @@ def _build_segment(
         block_hits_off=block_hits_off,
         block_max_freq=block_max_freq,
         planes=planes,
-        positions=pos_a.astype(np.uint16),
+        hit_planes=hit_planes,
+        hit_group_off=hit_group_off,
         payloads=pay_a if pay_a is not None else None,
         updated_ids=updated,
         stats=stats,

@@ -85,7 +85,8 @@ class SegmentData:
     block_max_freq: np.ndarray  # u16 [n_blocks] max freq in block (WAND bound)
     # payload streams
     planes: np.ndarray  # u32 [R, 128] packed plane matrix (bitpack.py)
-    positions: np.ndarray  # u16 [total_hits]
+    hit_planes: np.ndarray  # u32 [R2, 128] plane-packed positions stream
+    hit_group_off: np.ndarray  # u32 [ceil(H/128)+1] plane offsets per group
     payloads: np.ndarray | None  # u64 [total_hits] or None
     # masking & stats
     updated_ids: np.ndarray  # u32 [k] sorted app docids shadowed by this segment
@@ -104,6 +105,12 @@ class SegmentData:
     @property
     def n_windows(self) -> int:
         return max(1, -(-self.n_docs // WINDOW_SIZE))
+
+    @property
+    def positions(self) -> "PositionsView":
+        """Random-access view of the plane-packed positions stream
+        (materialize_hits addressing, lucene_codec.cpp:767-856)."""
+        return PositionsView(self.hit_planes, self.hit_group_off)
 
     def term_id(self, term) -> int:
         """Exact term lookup -> term id, or -1 (resolve_term_ctx analog)."""
@@ -132,7 +139,8 @@ class SegmentData:
         "block_hits_off",
         "block_max_freq",
         "planes",
-        "positions",
+        "hit_planes",
+        "hit_group_off",
         "updated_ids",
     )
 
@@ -231,3 +239,26 @@ def term_positions(seg: SegmentData, tid: int, local_doc: int) -> np.ndarray:
             off = int(seg.block_hits_off[b]) + int(freqs[:idx].sum())
             return seg.positions[off : off + int(freqs[idx])]
     return np.zeros(0, np.uint16)
+
+
+class PositionsView:
+    """Random-access decoder over the plane-packed positions stream: supports
+    the fancy-indexing the verification paths use (positions[idx_array] and
+    contiguous slices), decoding 1-2 groups per access, all vectorized."""
+
+    __slots__ = ("pw", "off")
+
+    def __init__(self, pw: np.ndarray, off: np.ndarray):
+        self.pw = pw
+        self.off = off
+
+    def __len__(self) -> int:
+        return (len(self.off) - 1) * 128 if len(self.off) > 1 else 0
+
+    def __getitem__(self, idx):
+        from trinity_tpu.utils.bitpack import unpack_value_groups
+
+        if isinstance(idx, slice):
+            start, stop, step = idx.indices(len(self))
+            idx = np.arange(start, stop, step)
+        return unpack_value_groups(self.pw, self.off, np.asarray(idx))

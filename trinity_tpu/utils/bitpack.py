@@ -55,15 +55,95 @@ def pack_plane_matrix(rows: np.ndarray) -> np.ndarray:
     """Pack a (P, 128) 0/1 bit matrix into (ceil(P/32), 128) u32 words."""
     P = len(rows)
     R = -(-P // PLANES_PER_ROW) if P else 0
-    out = np.zeros((R, BLOCK_SIZE), np.uint32)
-    for r in range(R):
-        chunk = rows[r * PLANES_PER_ROW : (r + 1) * PLANES_PER_ROW]
-        shifts = np.arange(len(chunk), dtype=np.uint32)[:, None]
-        out[r] = (
-            (chunk.astype(np.uint64) << shifts).sum(axis=0, dtype=np.uint64)
+    if not R:
+        return np.zeros((0, BLOCK_SIZE), np.uint32)
+    padded = np.zeros((R * PLANES_PER_ROW, BLOCK_SIZE), np.uint32)
+    padded[:P] = rows
+    shifts = np.arange(PLANES_PER_ROW, dtype=np.uint32)[None, :, None]
+    return (
+        (padded.reshape(R, PLANES_PER_ROW, BLOCK_SIZE).astype(np.uint64) << shifts)
+        .sum(axis=1, dtype=np.uint64)
+        & 0xFFFFFFFF
+    ).astype(np.uint32)
+
+
+def pack_value_groups(values: np.ndarray):
+    """Pack a flat value stream into 128-value plane-packed groups.
+
+    Returns (pw (R,128) u32, group_plane_off u32[n_groups+1]): group g's
+    values occupy plane rows [off[g], off[g+1]) with bit width
+    off[g+1]-off[g]. Used for the positions ("hits") stream — random access
+    decodes 1-2 groups (format.py PositionsView).
+    """
+    H = len(values)
+    if H == 0:
+        return np.zeros((0, BLOCK_SIZE), np.uint32), np.zeros(1, np.uint32)
+    G = -(-H // BLOCK_SIZE)
+    padded = np.zeros(G * BLOCK_SIZE, np.uint64)
+    padded[:H] = values
+    P2 = padded.reshape(G, BLOCK_SIZE)
+    maxes = P2.max(axis=1).astype(np.int64)
+    bits = np.zeros(G, np.int64)
+    nz = maxes > 0
+    bits[nz] = np.floor(np.log2(maxes[nz].astype(np.float64))).astype(np.int64) + 1
+    # float log2 rounding guard: widths must cover every value exactly
+    bad = (maxes >> np.minimum(bits, 63)) > 0
+    bits[bad] += 1
+    off = np.zeros(G + 1, np.uint32)
+    np.cumsum(bits, out=off[1:])
+    total_rows = int(off[-1])
+    R = -(-total_rows // PLANES_PER_ROW)
+    out = np.zeros((R + 1, BLOCK_SIZE), np.uint32)
+    # chunked pack: plane rows are group-major and contiguous, so each chunk
+    # packs into a contiguous word-row range (boundary rows OR-merge)
+    CHUNK = 16384
+    for g0 in range(0, G, CHUNK):
+        g1 = min(g0 + CHUNK, G)
+        cb = bits[g0:g1]
+        row_g = np.repeat(np.arange(g0, g1), cb)
+        co = off[g0:g1].astype(np.int64)
+        row_j = (np.arange(len(row_g)) + int(off[g0]) - np.repeat(co, cb)).astype(
+            np.uint64
+        )
+        rows = ((P2[row_g] >> row_j[:, None]) & 1).astype(np.uint32)
+        pr0 = int(off[g0])
+        lead = pr0 % PLANES_PER_ROW
+        padded_len = -(-(lead + len(rows)) // PLANES_PER_ROW) * PLANES_PER_ROW
+        buf = np.zeros((padded_len, BLOCK_SIZE), np.uint32)
+        buf[lead : lead + len(rows)] = rows
+        shifts = np.arange(PLANES_PER_ROW, dtype=np.uint32)[None, :, None]
+        words = (
+            (
+                buf.reshape(-1, PLANES_PER_ROW, BLOCK_SIZE).astype(np.uint64)
+                << shifts
+            ).sum(axis=1, dtype=np.uint64)
             & 0xFFFFFFFF
         ).astype(np.uint32)
-    return out
+        r0 = pr0 // PLANES_PER_ROW
+        out[r0 : r0 + len(words)] |= words
+    return out[:R], off
+
+
+def unpack_value_groups(pw: np.ndarray, off: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Gather values at flat indices from a pack_value_groups stream.
+
+    Vectorized contiguous-bit-field extraction (same trick as the device
+    decoder in ops/postings.py): value = bits [s, s+b) of the 64-bit lane
+    column word pair, where s = group plane offset % 32.
+    """
+    idx = np.asarray(idx, np.int64)
+    g = idx // BLOCK_SIZE
+    lane = idx % BLOCK_SIZE
+    p0 = off[g].astype(np.int64)
+    b = (off[g + 1] - off[g]).astype(np.int64)
+    r0 = p0 // 32
+    sh = (p0 % 32).astype(np.uint64)
+    n_rows = len(pw)
+    w0 = pw[np.minimum(r0, max(0, n_rows - 1)), lane].astype(np.uint64)
+    w1 = pw[np.minimum(r0 + 1, max(0, n_rows - 1)), lane].astype(np.uint64)
+    field = (w0 >> sh) | np.where(sh > 0, w1 << (np.uint64(32) - sh), 0)
+    mask = (np.uint64(1) << b.astype(np.uint64)) - np.uint64(1)
+    return (field & mask).astype(np.uint32)
 
 
 def unpack_plane_rows(pw: np.ndarray, p0: int, bits: int) -> np.ndarray:

@@ -45,6 +45,9 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, i64p, u32p, u32p, u32p,
         u32p, u32p, u32p, i32p, u8p, u8p, u32p, u32p,
     ]
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.trin_pack_value_groups.restype = ctypes.c_int64
+    lib.trin_pack_value_groups.argtypes = [ctypes.c_int64, u32p, u32p, u8p]
     lib.trin_pack_terms.restype = ctypes.c_int64
     lib.trin_pack_terms.argtypes = [
         ctypes.c_int64, u8p, i64p, ctypes.c_int,
@@ -137,3 +140,25 @@ def pack_terms(terms, interval: int = 64) -> Optional[Tuple]:
         len(blobs), blob, offsets, interval, data, skips, ctypes.byref(n_skips)
     )
     return data[:used].copy(), skips[: 2 * n_skips.value].reshape(-1, 2).copy()
+
+
+def pack_value_groups(values: np.ndarray):
+    """Native positions-stream pack (same contract as
+    bitpack.pack_value_groups); None when the library isn't built."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(values)
+    if n == 0:
+        return np.zeros((0, 128), np.uint32), np.zeros(1, np.uint32)
+    n_groups = -(-n // 128)
+    worst_rows = n_groups + 1  # 32 bits/group max -> 1 word-row per group
+    words = np.zeros((worst_rows + 1, 128), np.uint32)
+    gbits = np.zeros(n_groups, np.uint8)
+    used = lib.trin_pack_value_groups(
+        n, np.ascontiguousarray(values, np.uint32), words, gbits
+    )
+    off = np.zeros(n_groups + 1, np.uint32)
+    np.cumsum(gbits, out=off[1:])
+    rows = -(-int(used) // 32)
+    return words[:rows].copy(), off
