@@ -48,3 +48,11 @@ def test_mesh_uses_all_devices(sharded):
 
     _, _, mex = sharded
     assert len(mex.mesh.devices.reshape(-1)) == min(8, len(jax.devices()))
+
+
+def test_mesh_phrase_parity(sharded):
+    _, ex, mex = sharded
+    for qtext in ['"t0 t1"', '"t1 t2" OR t7']:
+        a = [(r.doc_id, r.score) for r in ex.search(qtext, k=10)]
+        b = [(r.doc_id, r.score) for r in mex.search(qtext, k=10)]
+        assert a == b, qtext

@@ -31,6 +31,13 @@ from trinity_tpu.query.parser import Query, parse_query
 NEG_INF = float("-inf")
 
 
+class _StatsProxy:
+    """Aggregated stats carrier for per-shard scoring (docs_cnt only)."""
+
+    def __init__(self, docs_cnt: int):
+        self.docs_cnt = docs_cnt
+
+
 def split_segment(seg: SegmentData, n_shards: int) -> List[SegmentData]:
     """Range-partition a segment's local docid space into n_shards
     sub-segments (window-aligned). This is the offline shard builder; in
@@ -204,6 +211,26 @@ class MeshExecutor:
         # global docid -> app id translation table
         self.doc_map = np.concatenate([s.doc_map for s in self.shards])
 
+    def _shard_executors(self):
+        """Lazy per-shard Executors sharing the mesh's device arrays (no
+        re-upload): used by paths that need host round-trips mid-query
+        (phrase verification)."""
+        if getattr(self, "_executors", None) is None:
+            from trinity_tpu.exec.executor import Executor
+
+            exes = []
+            for i, s in enumerate(self.shards):
+                ex = Executor.__new__(Executor)
+                ex.seg = s
+                ex.interpret = self.interpret
+                ex.bmeta = self.bmeta[i]
+                ex.planes = self.planes[i]
+                ex._deleted = None
+                ex._deleted_np = None
+                exes.append(ex)
+            self._executors = exes
+        return self._executors
+
     # ---------------------------------------------------------------- stats
     def doc_freq(self, term: str) -> int:
         df = 0
@@ -231,9 +258,23 @@ class MeshExecutor:
             return []
         plan = compile_plan(root)
         if plan.has_phrase:
-            raise NotImplementedError(
-                "phrases on the mesh path land with the device phrase kernel"
-            )
+            # phrase queries execute per shard (each shard already holds its
+            # device arrays; results merge deterministically because shards
+            # are docid-ordered ranges) — the exec_query-per-source model
+            stats_docs = self.docs_cnt
+            results = []
+            for src in self._shard_executors():
+                results.extend(
+                    src.search(
+                        query,
+                        k=k,
+                        scorer=scorer,
+                        stats=_StatsProxy(stats_docs),
+                        df_of=self.doc_freq,
+                    )
+                )
+            results.sort(key=lambda r: (-r.score, r.doc_id))
+            return results[:k]
         from trinity_tpu.exec.executor import _pad_T
 
         t_pad = _pad_T(plan.n_slots)
