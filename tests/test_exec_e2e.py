@@ -146,3 +146,14 @@ def test_search_batch_parity(small):
         assert [(r.doc_id, r.score) for r in br] == [
             (r.doc_id, r.score) for r in sr
         ], q
+
+
+def test_search_many_parity(small):
+    ex, corpus = small
+    qs = ["t0 t1", "t2 OR t3", '"t0 t1"', "zzz"]
+    many = ex.search_many(qs, k=10)
+    for q, mr in zip(qs, many):
+        sr = ex.search(q, k=10)
+        assert [(r.doc_id, r.score) for r in mr] == [
+            (r.doc_id, r.score) for r in sr
+        ], q

@@ -48,8 +48,13 @@ def pack_terms(terms: list) -> tuple:
 
     skip[:, 0] = term ordinal, skip[:, 1] = byte offset of its entry; entries
     at skip points are stored with zero shared prefix so decoding can start
-    there (terms.cpp:126-172 semantics).
+    there (terms.cpp:126-172 semantics). Uses the native packer when built.
     """
+    from trinity_tpu.utils import native
+
+    packed = native.pack_terms(terms, SKIPLIST_INTERVAL)
+    if packed is not None:
+        return packed
     data = bytearray()
     skips = []
     prev = b""
