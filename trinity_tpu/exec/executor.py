@@ -575,6 +575,40 @@ class Executor:
         )
 
     # -------------------------------------------------------------- search
+    def launch(self, query, k=10, scorer="bm25", stats=None, df_of=None):
+        """Issue the device program without waiting (multi-source pipelining;
+        the async analog of exec_query_par's per-source futures,
+        exec.h:132-154). Returns an opaque pending handle for finish().
+        Phrase plans execute eagerly (they need a host round-trip)."""
+        prep = self._prepare(query, scorer, stats, df_of)
+        if prep is None:
+            return None
+        plan, cs, cn, weights = prep
+        seg = self.seg
+        if plan.has_phrase:
+            return self._run_phrase(plan, cs, cn, weights, scorer, k, "search")
+        fn = _build_search_fn(
+            plan.tape, scorer, seg.n_windows, _pad_T(plan.n_slots), k,
+            self.interpret, "search",
+        )
+        return fn(
+            self.bmeta, self.planes, cs, cn, weights,
+            np.int32(seg.n_docs), self._deleted,
+        )
+
+    def finish(self, pending) -> List[SearchResult]:
+        """Resolve a launch() handle into results."""
+        if pending is None:
+            return []
+        jax, _ = _lazy_jax()
+        gv, gi = jax.device_get(pending)
+        out = []
+        for v, i in zip(gv, gi):
+            if v == NEG_INF:
+                break
+            out.append(SearchResult(int(self.seg.doc_map[i]), float(v)))
+        return out
+
     def search(
         self,
         query,

@@ -126,15 +126,20 @@ class IndexSourcesCollection:
         if not self._committed:
             self.commit()
         stats = self.aggregated_stats()
-        results = []
+        # pipeline: launch every source's device program, then gather — the
+        # async analog of the per-source std::async fan-out (exec.h:132-154)
+        pendings = []
         for src in self.sources:
             if src.index_empty():
                 continue
-            results.extend(
-                src.executor().search(
-                    query, k=k, scorer=scorer, stats=stats, df_of=self.doc_freq
-                )
+            ex = src.executor()
+            pendings.append(
+                (ex, ex.launch(query, k=k, scorer=scorer, stats=stats,
+                               df_of=self.doc_freq))
             )
+        results = []
+        for ex, p in pendings:
+            results.extend(ex.finish(p))
         results.sort(key=lambda r: (-r.score, r.doc_id))
         return results[:k]
 
