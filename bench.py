@@ -71,12 +71,31 @@ def make_queries(rng, n=120):
     return qs
 
 
+def _wait_for_device(max_wait_s: int = 420):
+    """The remote TPU worker can be mid-recovery (a prior kernel fault wedges
+    it ~10 min); wait until a trivial op succeeds before building."""
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            jax.block_until_ready(jnp.arange(4.0).sum())
+            return
+        except Exception as e:  # noqa: BLE001
+            if time.time() > deadline:
+                raise
+            _log(f"device unavailable ({type(e).__name__}); retrying...")
+            time.sleep(30)
+
+
 def main():
     import jax
 
     # persistent compilation cache: kernel compiles survive across processes
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _wait_for_device()
 
     from trinity_tpu.exec import Executor
 

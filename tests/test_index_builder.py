@@ -150,3 +150,19 @@ def test_multi_block_term():
     d, f = term_postings(seg, tid)
     np.testing.assert_array_equal(d, np.arange(300, dtype=np.uint32))
     np.testing.assert_array_equal(f, np.ones(300, np.uint32))
+
+
+def test_persist_load_with_payloads(tmp_path):
+    sess = SegmentIndexSession(track_payloads=True)
+    p = sess.begin(1)
+    p.insert("x", 1, payload=7)
+    p.insert("y", 2, payload=9)
+    sess.insert(p)
+    seg = sess.commit()
+    seg.persist(str(tmp_path / "s"))
+    seg2 = SegmentData.load(str(tmp_path / "s"))
+    np.testing.assert_array_equal(seg2.payloads, seg.payloads)
+    tid = seg2.term_id("x")
+    np.testing.assert_array_equal(
+        term_positions(seg2, tid, 0), term_positions(seg, tid, 0)
+    )

@@ -985,7 +985,7 @@ class Executor:
             weights[bi] = model.weight(
                 [df_of(t) for t in plan.weight_terms[key[2]]], docs_cnt
             )
-        C2 = 8192  # bound-ordered candidates pulled per query
+        C2 = get_config().phrase_lazy_candidates
         fn = _build_phrase_lazy_a(slots, W, T, B, C2, self.interpret)
         gids, bounds, pf, po, overflow = (
             np.asarray(x)
@@ -997,9 +997,10 @@ class Executor:
         out_i = np.zeros((B, k), np.int64)
         deleted = self._deleted_np
         for bi, (qi, plan) in enumerate(members):
-            got: List[Tuple[float, int]] = []
+            acc_v = np.zeros(0, np.float32)
+            acc_i = np.zeros(0, np.int64)
             n_valid = int((bounds[bi] > 0).sum())
-            chunk = 1024
+            chunk = 2048
             resolved = n_valid == 0
             for c0 in range(0, n_valid, chunk):
                 hi = min(c0 + chunk, n_valid)
@@ -1009,23 +1010,22 @@ class Executor:
                     pf[bi, c0:hi],
                     po[bi, c0:hi],
                 )
-                bscore = model.score_tile(
-                    pfreq.astype(np.float32), np.float32(weights[bi])
-                )
-                for j in range(hi - c0):
-                    if pfreq[j] == 0:
-                        continue
-                    g = int(gids[bi, c0 + j])
-                    if deleted is not None and deleted[g]:
-                        continue
-                    got.append((float(bscore[j]), g))
-                got.sort(key=lambda t: (-t[0], t[1]))
-                got = got[: 2 * k]
+                g = gids[bi, c0:hi].astype(np.int64)
+                keep = pfreq > 0
+                if deleted is not None:
+                    keep &= ~deleted[g]
+                sc = model.score_tile(
+                    pfreq[keep].astype(np.float32), np.float32(weights[bi])
+                ).astype(np.float32)
+                acc_v = np.concatenate([acc_v, sc])
+                acc_i = np.concatenate([acc_i, g[keep]])
+                order = np.lexsort((acc_i, -acc_v))[: 2 * k]
+                acc_v, acc_i = acc_v[order], acc_i[order]
                 if hi == n_valid:
                     # all pulled candidates verified; exact unless truncated
                     resolved = not (bool(overflow[bi]) or n_valid >= C2)
-                elif len(got) >= k:
-                    theta = got[k - 1][0]
+                elif len(acc_v) >= k:
+                    theta = acc_v[k - 1]
                     next_bound = float(
                         model.score_tile(
                             np.float32(bounds[bi, hi]), np.float32(weights[bi])
@@ -1066,9 +1066,9 @@ class Executor:
                 out_v[bi, :nkeep] = gv[:nkeep]
                 out_i[bi, :nkeep] = gi[:nkeep]
                 continue
-            for j, (v, g) in enumerate(got[:k]):
-                out_v[bi, j] = v
-                out_i[bi, j] = g
+            nkeep = min(len(acc_v), k)
+            out_v[bi, :nkeep] = acc_v[:nkeep]
+            out_i[bi, :nkeep] = acc_i[:nkeep]
         return out_v, out_i
 
     def _run_phrase_batch(self, key, members, k, scorer, model, docs_cnt, df_of):

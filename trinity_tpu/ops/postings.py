@@ -163,12 +163,20 @@ def _freq_tiles_body(
         iota_col = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
 
         def nt_scatter(a, v):
-            """acc[h, l] += sum_p a[h, p] * v[l, p] — one NT MXU matmul."""
+            """acc[h, l] += sum_p a[h, p] * v[l, p] — one NT MXU matmul.
+
+            precision=HIGHEST is REQUIRED for exactness: Mosaic lowers
+            default-precision f32 matmuls as single-pass bf16, which rounds
+            any scattered value above 2^8 (observed: hits offsets rounded to
+            bf16 ulp on v5e). HIGHEST (bf16x3+) keeps integer values below
+            ~2^24 exact.
+            """
             return jax.lax.dot_general(
                 a,
                 v,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         def bitfield(wlo, whi, sh, width):
