@@ -162,21 +162,24 @@ def _freq_tiles_body(
 
         iota_col = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
 
-        def nt_scatter(a, v):
+        def nt_scatter(a, v, exact=False):
             """acc[h, l] += sum_p a[h, p] * v[l, p] — one NT MXU matmul.
 
-            precision=HIGHEST is REQUIRED for exactness: Mosaic lowers
-            default-precision f32 matmuls as single-pass bf16, which rounds
-            any scattered value above 2^8 (observed: hits offsets rounded to
-            bf16 ulp on v5e). HIGHEST (bf16x3+) keeps integer values below
-            ~2^24 exact.
+            Mosaic lowers default-precision f32 matmuls as SINGLE-PASS bf16
+            (observed on v5e: scattered values above 2^8 round to bf16 ulp),
+            so values wider than 8 bits either split into bf16-exact byte
+            planes (the freq path below) or pass exact=True for
+            precision=HIGHEST (~3x MXU passes; the offsets path).
             """
+            kw = (
+                {"precision": jax.lax.Precision.HIGHEST} if exact else {}
+            )
             return jax.lax.dot_general(
                 a,
                 v,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                **kw,
             )
 
         def bitfield(wlo, whi, sh, width):
@@ -237,7 +240,11 @@ def _freq_tiles_body(
             local = docs - wbase
             hi = local >> 7
             lo = local & 127
-            freqs = jnp.where(valid, (f1 + 1), 0).astype(jnp.float32)
+            # freq split into bf16-exact byte planes: v = fhi*256 + flo with
+            # flo <= 255 and fhi <= 256, both exactly representable in bf16
+            fv = jnp.where(valid, (f1 + 1), 0)
+            flo = (fv & 255).astype(jnp.float32)
+            fhi = (fv >> 8).astype(jnp.float32)
             if off_ref is not None:
                 epf = _prefix_sum_lanes(f1 + 1) - (f1 + 1)
                 hits4 = col([meta(js[i], C_HITS) for i in range(GROUP)])
@@ -245,33 +252,50 @@ def _freq_tiles_body(
                 off_hi = (off >> 12).astype(jnp.float32)
                 off_lo = (off & 4095).astype(jnp.float32)
             # per-block one-hot scatters from the group-decoded rows
-            acc = carry[0]
-            acc_hi = carry[1] if off_ref is not None else None
-            acc_lo = carry[2] if off_ref is not None else None
+            acc_l, acc_h = carry[0], carry[1]
+            acc_ohi = carry[2] if off_ref is not None else None
+            acc_olo = carry[3] if off_ref is not None else None
             for i in range(GROUP):
-                a = (hi[i : i + 1, :] == iota_col).astype(jnp.float32)
+                # masks/selects in f32 domain (bf16 compares are unsupported
+                # on this target); cast to bf16 only at the matmul inputs —
+                # all values are integers <= 256, exactly representable
+                a32 = (hi[i : i + 1, :] == iota_col).astype(jnp.float32)
                 onehot_lo = lo[i : i + 1, :] == iota_col
-                acc = acc + nt_scatter(
-                    a, jnp.where(onehot_lo, freqs[i : i + 1, :], 0.0)
+                ab = a32.astype(jnp.bfloat16)
+                acc_l = acc_l + nt_scatter(
+                    ab,
+                    jnp.where(onehot_lo, flo[i : i + 1, :], 0.0).astype(
+                        jnp.bfloat16
+                    ),
+                )
+                acc_h = acc_h + nt_scatter(
+                    ab,
+                    jnp.where(onehot_lo, fhi[i : i + 1, :], 0.0).astype(
+                        jnp.bfloat16
+                    ),
                 )
                 if off_ref is not None:
-                    acc_hi = acc_hi + nt_scatter(
-                        a, jnp.where(onehot_lo, off_hi[i : i + 1, :], 0.0)
+                    acc_ohi = acc_ohi + nt_scatter(
+                        a32,
+                        jnp.where(onehot_lo, off_hi[i : i + 1, :], 0.0),
+                        exact=True,
                     )
-                    acc_lo = acc_lo + nt_scatter(
-                        a, jnp.where(onehot_lo, off_lo[i : i + 1, :], 0.0)
+                    acc_olo = acc_olo + nt_scatter(
+                        a32,
+                        jnp.where(onehot_lo, off_lo[i : i + 1, :], 0.0),
+                        exact=True,
                     )
             if off_ref is None:
-                return (acc,)
-            return (acc, acc_hi, acc_lo)
+                return (acc_l, acc_h)
+            return (acc_l, acc_h, acc_ohi, acc_olo)
 
         z = jnp.zeros((TILE, TILE), jnp.float32)
-        init = (z,) if off_ref is None else (z, z, z)
+        init = (z, z) if off_ref is None else (z, z, z, z)
         carry = jax.lax.fori_loop(0, pl.cdiv(n, GROUP), group_body, init)
-        out_ref[0, 0, :, :] = carry[0]
+        out_ref[0, 0, :, :] = carry[1] * 256.0 + carry[0]
         if off_ref is not None:
             off_ref[0, 0, :, :] = (
-                carry[1].astype(jnp.int32) * 4096 + carry[2].astype(jnp.int32)
+                carry[2].astype(jnp.int32) * 4096 + carry[3].astype(jnp.int32)
             )
 
 
