@@ -98,3 +98,101 @@ def test_verify_phrase_candidates_unit():
     assert out[0] == 2
     # invalid candidate contributes 0
     assert verify_phrase_candidates(positions, np.array([False]), freqs, offs)[0] == 0
+
+
+def test_verify_phrases_device_matches_host():
+    """Device verifier == host verifier on a packed random stream, across
+    cap buckets and the lax.map chunked path."""
+    import jax.numpy as jnp
+
+    from trinity_tpu.exec.phrases import verify_phrases_device
+    from trinity_tpu.utils.bitpack import pack_value_groups
+
+    rng = np.random.default_rng(11)
+    H = 5000
+    positions = rng.integers(0, 1 << 14, H).astype(np.uint16)
+    pw, off = pack_value_groups(positions)
+    hit_pw = jnp.asarray(
+        np.vstack([pw.reshape(-1, 128), np.zeros((1, 128), np.uint32)])
+    )
+    hit_off = jnp.asarray(off.astype(np.int32))
+
+    n, k = 64, 3
+    fcaps = (8, 64, 8)
+    freqs = np.stack(
+        [rng.integers(1, c + 1, n) for c in fcaps], axis=1
+    ).astype(np.int32)
+    offs = np.stack(
+        [rng.integers(0, H - c, n) for c in fcaps], axis=1
+    ).astype(np.int32)
+    valid = rng.random(n) < 0.8
+
+    want = verify_phrase_candidates(positions, valid, freqs, offs)
+    got = np.asarray(
+        verify_phrases_device(hit_pw, hit_off, jnp.asarray(valid),
+                              jnp.asarray(freqs), jnp.asarray(offs), fcaps)
+    )
+    np.testing.assert_array_equal(got, want)
+    # chunked path (budget forces lax.map over candidate chunks)
+    got_chunked = np.asarray(
+        verify_phrases_device(hit_pw, hit_off, jnp.asarray(valid),
+                              jnp.asarray(freqs), jnp.asarray(offs), fcaps,
+                              chunk_budget=8 * 64 * 8)
+    )
+    np.testing.assert_array_equal(got_chunked, want)
+
+
+def test_verify_phrases_device_adjacency_exact():
+    """Known-structure stream: device verifier counts exact adjacencies."""
+    import jax.numpy as jnp
+
+    from trinity_tpu.exec.phrases import verify_phrases_device
+    from trinity_tpu.utils.bitpack import pack_value_groups
+
+    # member0 at [1,5,9], member1 at [2,6]: starts 1 and 5 verify
+    positions = np.array([1, 5, 9, 2, 6, 3, 7, 30], np.uint16)
+    pw, off = pack_value_groups(positions)
+    hit_pw = jnp.asarray(
+        np.vstack([pw.reshape(-1, 128), np.zeros((1, 128), np.uint32)])
+    )
+    hit_off = jnp.asarray(off.astype(np.int32))
+    freqs = jnp.asarray(np.array([[3, 2]], np.int32))
+    offs = jnp.asarray(np.array([[0, 3]], np.int32))
+    out = verify_phrases_device(
+        hit_pw, hit_off, jnp.asarray([True]), freqs, offs, (8, 8)
+    )
+    assert int(out[0]) == 2
+    out0 = verify_phrases_device(
+        hit_pw, hit_off, jnp.asarray([False]), freqs, offs, (8, 8)
+    )
+    assert int(out0[0]) == 0
+
+
+def test_phrase_fcap_host_fallback():
+    """A phrase member whose max per-doc freq exceeds the device cap ladder
+    routes through the host verifier — parity must hold either way."""
+    from trinity_tpu.index.builder import SegmentIndexSession
+
+    sess = SegmentIndexSession()
+    corpus = OracleCorpus()
+    toks_big = ["big"] * 600 + ["other", "big", "deal"]
+    docs = {1: toks_big, 2: ["big", "deal"], 3: ["other", "big", "deal", "big", "deal"]}
+    for d, toks in docs.items():
+        corpus.add(d, toks)
+        p = sess.begin(d)
+        for pos, t in enumerate(toks, start=1):
+            p.insert(t, pos)
+        sess.insert(p)
+    ex = Executor(sess.commit())
+    q = parse_query('"big deal"')
+    assert ex._phrase_fcaps((None,), ()) is not None  # stream exists
+    from trinity_tpu.plan.compile import compile_plan
+
+    plan = compile_plan(q.root)
+    assert ex._phrase_fcaps((plan,), (tuple(plan.tape[1]),)) is None
+    got = ex.search(q, k=10, scorer="trivial")
+    want = oracle_search(corpus, q.root, k=10, scorer="trivial")
+    assert ids(got) == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [r.score for r in got], [s for _, s in want], rtol=2e-6
+    )

@@ -325,6 +325,34 @@ def _build_phrase_lazy_a(slots, W, T, B, C2, interpret):
     return jax.jit(run)
 
 
+def _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp):
+    """Candidate extraction shared by all phrase pass-A variants: for each
+    phrase, docs where every member occurs (the member conjunction of
+    Phrase::next_impl, docset_iterators.cpp:66-150), compacted to the first
+    C docids per window via top_k on a descending-docid key. freq/offv have
+    shape (..., T, WINDOW_SIZE) with any leading dims."""
+    iota = jnp.arange(WINDOW_SIZE, dtype=jnp.int32)
+    per_phrase = []
+    for slots in phrase_slots:
+        m = freq[..., slots[0], :] > 0
+        for s in slots[1:]:
+            m = m & (freq[..., s, :] > 0)
+        key = jnp.where(m, WINDOW_SIZE - iota, 0)
+        kv, ki = jax.lax.top_k(key, C)  # ascending docid among candidates
+        valid = kv > 0
+        cnt = m.sum(axis=-1)
+        pf = jnp.stack(
+            [jnp.take_along_axis(freq[..., s, :], ki, axis=-1) for s in slots],
+            axis=-1,
+        ).astype(jnp.int32)
+        po = jnp.stack(
+            [jnp.take_along_axis(offv[..., s, :], ki, axis=-1) for s in slots],
+            axis=-1,
+        )
+        per_phrase.append((ki, valid, cnt, pf, po))
+    return per_phrase
+
+
 @functools.lru_cache(maxsize=256)
 def _build_phrase_batch_a(phrase_slots, W, T, B, C, interpret):
     """Batched phrase pass A: B same-shape phrase queries in one program.
@@ -345,31 +373,7 @@ def _build_phrase_batch_a(phrase_slots, W, T, B, C, interpret):
         )
         freq = tiles.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
         offv = offs.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
-        iota = jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, None, :]
-        per_phrase = []
-        for slots in phrase_slots:
-            m = freq[:, :, slots[0], :] > 0
-            for s in slots[1:]:
-                m = m & (freq[:, :, s, :] > 0)
-            key = jnp.where(m, WINDOW_SIZE - iota, 0)  # (B, W, N)
-            kv, ki = jax.lax.top_k(key, C)  # (B, W, C)
-            valid = kv > 0
-            cnt = m.sum(axis=2)
-            pf = jnp.stack(
-                [
-                    jnp.take_along_axis(freq[:, :, s, :], ki, axis=2)
-                    for s in slots
-                ],
-                axis=-1,
-            ).astype(jnp.int32)
-            po = jnp.stack(
-                [
-                    jnp.take_along_axis(offv[:, :, s, :], ki, axis=2)
-                    for s in slots
-                ],
-                axis=-1,
-            )
-            per_phrase.append((ki, valid, cnt, pf, po))
+        per_phrase = _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp)
         return freq, per_phrase
 
     return jax.jit(run)
@@ -434,25 +438,7 @@ def _build_phrase_pass_a(phrase_slots, W, T, C, interpret):
         )
         freq = tiles.reshape(W, T, WINDOW_SIZE)
         offv = offs.reshape(W, T, WINDOW_SIZE)
-        iota = jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
-        per_phrase = []
-        for slots in phrase_slots:
-            m = freq[:, slots[0], :] > 0
-            for s in slots[1:]:
-                m = m & (freq[:, s, :] > 0)
-            key = jnp.where(m, WINDOW_SIZE - iota, 0)
-            kv, ki = jax.lax.top_k(key, C)  # ascending docid among candidates
-            valid = kv > 0
-            cnt = m.sum(axis=1)
-            pf = jnp.stack(
-                [jnp.take_along_axis(freq[:, s, :], ki, axis=1) for s in slots],
-                axis=-1,
-            ).astype(jnp.int32)
-            po = jnp.stack(
-                [jnp.take_along_axis(offv[:, s, :], ki, axis=1) for s in slots],
-                axis=-1,
-            )
-            per_phrase.append((ki, valid, cnt, pf, po))
+        per_phrase = _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp)
         return freq, per_phrase
 
     return jax.jit(run)
@@ -496,6 +482,123 @@ def _build_phrase_pass_c(tape, scorer_name, W, T, k, C, n_phrases, interpret, mo
     return jax.jit(run)
 
 
+def _phrase_c_eval(
+    tape, scorer_cls, freq, phrase_ids, phrase_freqs, weights, n_docs,
+    deleted, W, k, mode, jax, jnp, B=None,
+):
+    """Tape evaluation with verified phrase tiles + top-k (pass C core).
+    B=None is the single-query shape (W, ...); otherwise (B, W, ...)."""
+    phrase_tiles = []
+    if B is None:
+        rows = jnp.arange(W, dtype=jnp.int32)[:, None]
+        for ids, pfr in zip(phrase_ids, phrase_freqs):
+            tile = jnp.zeros((W, WINDOW_SIZE), jnp.float32)
+            phrase_tiles.append(tile.at[rows, ids].add(pfr))
+    else:
+        rows_b = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        rows_w = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+        for ids, pfr in zip(phrase_ids, phrase_freqs):
+            tile = jnp.zeros((B, W, WINDOW_SIZE), jnp.float32)
+            phrase_tiles.append(tile.at[rows_b, rows_w, ids].add(pfr))
+    mask, score = _eval_tape(tape, freq, weights, scorer_cls, jnp, phrase_tiles)
+    gid = (
+        jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
+        + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+    )
+    live = gid < n_docs
+    if deleted is not None:
+        live = live & ~deleted.reshape(W, WINDOW_SIZE)
+    mask = mask & (live if B is None else live[None])
+    if mode == "docs":
+        return mask
+    scores = jnp.where(mask, score, NEG_INF)
+    pv, pi = jax.lax.top_k(scores, k)  # (..., W, k); ties -> lower docid
+    woff = jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
+    if B is None:
+        cand_v = pv.reshape(-1)
+        cand_i = (pi + woff).reshape(-1)
+        gv, gidx = jax.lax.top_k(cand_v, k)
+        return gv, cand_i[gidx]
+    cand_v = pv.reshape(B, -1)
+    cand_i = (pi + woff[None]).reshape(B, -1)
+    gv, gidx = jax.lax.top_k(cand_v, k)
+    return gv, jnp.take_along_axis(cand_i, gidx, axis=1)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_phrase_fused(
+    tape, scorer_name, W, T, k, C, phrase_slots, fcaps, interpret, mode
+):
+    """Single-program phrase execution: candidate extraction (pass A),
+    device position verification, and tape eval + top-k (pass C) in ONE
+    jitted program — the fully on-device analog of Phrase::next_impl +
+    consider_phrase_match (docset_iterators.cpp:66-224), with no host
+    round-trip. fcaps[p][m] is phrase p member m's static position cap."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.exec.phrases import verify_phrases_device
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(bmeta, planes, cs, cn, hit_pw, hit_off, weights, n_docs, deleted):
+        tiles, offs = materialize_freq_tiles(
+            bmeta, planes, cs, cn,
+            n_windows=W, n_terms=T, interpret=interpret, with_offsets=True,
+        )
+        freq = tiles.reshape(W, T, WINDOW_SIZE)
+        offv = offs.reshape(W, T, WINDOW_SIZE)
+        per_phrase = _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp)
+        cnts = jnp.stack([p[2] for p in per_phrase])  # (P, W) overflow check
+        phrase_ids, phrase_freqs = [], []
+        for fc, (ki, valid, _, pf, po) in zip(fcaps, per_phrase):
+            pfreq = verify_phrases_device(hit_pw, hit_off, valid, pf, po, fc)
+            phrase_ids.append(ki)
+            phrase_freqs.append(pfreq.astype(jnp.float32))
+        res = _phrase_c_eval(
+            tape, scorer_cls, freq, phrase_ids, phrase_freqs, weights,
+            n_docs, deleted, W, k, mode, jax, jnp,
+        )
+        return cnts, res
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_phrase_batch_fused(
+    tape, scorer_name, W, T, B, k, C, phrase_slots, fcaps, interpret
+):
+    """Batched fused phrase execution: B same-shape queries, pass A +
+    device verification + pass C in one program."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.exec.phrases import verify_phrases_device
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(bmeta, planes, cs, cn, hit_pw, hit_off, weights, n_docs, deleted):
+        tiles, offs = materialize_freq_tiles(
+            bmeta, planes, cs, cn,
+            n_windows=W, n_terms=B * T, interpret=interpret, with_offsets=True,
+        )
+        freq = tiles.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        offv = offs.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        per_phrase = _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp)
+        cnts = jnp.stack([p[2] for p in per_phrase])  # (P, B, W)
+        phrase_ids, phrase_freqs = [], []
+        for fc, (ki, valid, _, pf, po) in zip(fcaps, per_phrase):
+            pfreq = verify_phrases_device(hit_pw, hit_off, valid, pf, po, fc)
+            phrase_ids.append(ki)
+            phrase_freqs.append(pfreq.astype(jnp.float32))
+        wsel = lambda i: weights[:, i, None, None]
+        res = _phrase_c_eval(
+            tape, scorer_cls, freq, phrase_ids, phrase_freqs, wsel,
+            n_docs, deleted, W, k, "search", jax, jnp, B=B,
+        )
+        return cnts, res
+
+    return jax.jit(run)
+
+
 class Executor:
     """Per-segment search session (the IndexSource + exec_query analog).
 
@@ -513,6 +616,14 @@ class Executor:
         self.interpret = interpret
         self.bmeta = jnp.asarray(pack_block_meta(seg))
         self.planes = jnp.asarray(pad_planes(seg.planes))
+        # plane-packed positions stream, device-resident for fused phrase
+        # verification (one trailing zero guard row for the word-pair read)
+        hp = np.ascontiguousarray(seg.hit_planes, dtype=np.uint32)
+        self.hit_pw = jnp.asarray(
+            np.vstack([hp.reshape(-1, 128), np.zeros((1, 128), np.uint32)])
+        )
+        self.hit_off = jnp.asarray(seg.hit_group_off.astype(np.int32))
+        self._max_freq_cache: dict = {}
         self._deleted = None  # optional bool (W*WINDOW,) mask of masked docs
         self._deleted_np = None  # host copy for lazy phrase verification
 
@@ -586,7 +697,9 @@ class Executor:
         plan, cs, cn, weights = prep
         seg = self.seg
         if plan.has_phrase:
-            return self._run_phrase(plan, cs, cn, weights, scorer, k, "search")
+            return self._phrase_search_dispatch(
+                plan, cs, cn, weights, scorer, k, stats, df_of
+            )
         fn = _build_search_fn(
             plan.tape, scorer, seg.n_windows, _pad_T(plan.n_slots), k,
             self.interpret, "search",
@@ -628,8 +741,8 @@ class Executor:
         seg = self.seg
         if plan.has_phrase:
             with trace("exec.phrase"):
-                gv, gi = self._run_phrase(
-                    plan, cs, cn, weights, scorer, k, "search"
+                gv, gi = self._phrase_search_dispatch(
+                    plan, cs, cn, weights, scorer, k, stats, df_of
                 )
         else:
             fn = _build_search_fn(
@@ -682,7 +795,9 @@ class Executor:
                 continue
             plan, cs, cn, weights = prep
             if plan.has_phrase:
-                gv, gi = self._run_phrase(plan, cs, cn, weights, scorer, k, "search")
+                gv, gi = self._phrase_search_dispatch(
+                    plan, cs, cn, weights, scorer, k, stats, df_of
+                )
             else:
                 fn = _build_search_fn(
                     plan.tape, scorer, seg.n_windows, _pad_T(plan.n_slots), k,
@@ -1114,6 +1229,26 @@ class Executor:
                 model.weight([df_of(t) for t in terms], docs_cnt)
                 for terms in plan.weight_terms
             ]
+        fcaps = self._phrase_fcaps(
+            tuple(plan for _, plan in members), phrase_slots
+        )
+        if fcaps is not None:
+            C = min(get_config().phrase_fused_candidates, WINDOW_SIZE)
+            while True:
+                fn = _build_phrase_batch_fused(
+                    key, scorer, W, T, B, k, C, phrase_slots, fcaps,
+                    self.interpret,
+                )
+                cnts, res = fn(
+                    self.bmeta, self.planes, jnp.asarray(cs), jnp.asarray(cn),
+                    self.hit_pw, self.hit_off, jnp.asarray(weights),
+                    np.int32(seg.n_docs), self._deleted,
+                )
+                if C >= WINDOW_SIZE:
+                    return res
+                if int(np.asarray(cnts).max(initial=0)) <= C:
+                    return res
+                C = WINDOW_SIZE
         C = min(get_config().phrase_candidate_cap, WINDOW_SIZE)
         while True:
             fa = _build_phrase_batch_a(phrase_slots, W, T, B, C, self.interpret)
@@ -1149,10 +1284,72 @@ class Executor:
             self._deleted,
         )
 
+    def _term_max_freq(self, text: str) -> int:
+        """Segment-wide max per-doc freq of a term (from block_max_freq, the
+        WAND bound array) — sizes the device verifier's position gathers."""
+        mf = self._max_freq_cache.get(text)
+        if mf is None:
+            seg = self.seg
+            tid = seg.term_id(text)
+            mf = 1
+            if tid >= 0:
+                s, n = int(seg.term_block_start[tid]), int(seg.term_nblocks[tid])
+                if n:
+                    mf = max(1, int(seg.block_max_freq[s : s + n].max()))
+            self._max_freq_cache[text] = mf
+        return mf
+
+    def _phrase_fcaps(self, plans, phrase_slots):
+        """Static per-phrase member position caps for the device verifier,
+        or None when a member's max freq exceeds the ladder (host-verify
+        fallback) or the segment has no positions stream."""
+        from trinity_tpu.exec.phrases import fcap_bucket
+
+        if len(self.seg.hit_group_off) < 2:
+            return None
+        caps = []
+        for slots in phrase_slots:
+            mem = []
+            for s in slots:
+                mf = max(self._term_max_freq(p.term_texts[s]) for p in plans)
+                b = fcap_bucket(mf)
+                if b is None:
+                    return None
+                mem.append(b)
+            caps.append(tuple(mem))
+        return tuple(caps)
+
+    def _phrase_search_dispatch(
+        self, plan, cs, cn, weights, scorer, k, stats, df_of
+    ):
+        """Route a top-k phrase search. Pure-phrase tapes take the lazy
+        bound-ordered path: hot phrases can have conjunction candidates in
+        the tens of thousands per window, and verifying candidates in
+        phrase-bound order with an early exit beats verify-everything by an
+        order of magnitude (the moral analog of the reference's cost-ordered
+        lazy advancement, docset_iterators.h:38-60). Compound tapes need
+        every candidate's phrase freq for tape scoring -> fused program."""
+        if plan.tape[0] == "phrase":
+            model = SIMILARITIES[scorer]
+            seg = self.seg
+            docs_cnt = stats.docs_cnt if stats else seg.stats.docs_cnt
+            if df_of is None:
+                df_of = lambda t: (
+                    int(seg.term_df[seg.term_id(t)])
+                    if seg.term_id(t) >= 0
+                    else 0
+                )
+            out_v, out_i = self._run_phrase_lazy_batch(
+                plan.tape, [(0, plan)], k, scorer, model, docs_cnt, df_of
+            )
+            return out_v[0], out_i[0]
+        return self._run_phrase(plan, cs, cn, weights, scorer, k, "search")
+
     def _run_phrase(self, plan, cs, cn, weights, scorer, k, mode):
-        """Three-pass phrase execution: device candidate extraction (pass A),
-        host position verification (pass B, exec/phrases.py), device tape
-        eval + top-k with injected phrase tiles (pass C)."""
+        """Phrase execution. Preferred: ONE fused device program (pass A +
+        on-device position verification + pass C). Fallback when a member
+        term's max freq exceeds the device cap ladder: three passes with
+        host position verification (pass B, exec/phrases.py)."""
         from trinity_tpu.exec.phrases import (
             collect_phrases,
             verify_phrase_candidates,
@@ -1165,6 +1362,24 @@ class Executor:
         phrase_slots = tuple(slots for slots, _ in phrases)
         from trinity_tpu.config import get_config
 
+        fcaps = self._phrase_fcaps((plan,), phrase_slots)
+        if fcaps is not None:
+            C = min(get_config().phrase_fused_candidates, WINDOW_SIZE)
+            while True:
+                fn = _build_phrase_fused(
+                    plan.tape, scorer, W, _pad_T(plan.n_slots), k, C,
+                    phrase_slots, fcaps, self.interpret, mode,
+                )
+                cnts, res = fn(
+                    self.bmeta, self.planes, cs, cn,
+                    self.hit_pw, self.hit_off, weights,
+                    np.int32(seg.n_docs), self._deleted,
+                )
+                if C >= WINDOW_SIZE:
+                    return res
+                if int(np.asarray(cnts).max(initial=0)) <= C:
+                    return res
+                C = WINDOW_SIZE  # one growth step: bounds kernel variants
         C = min(get_config().phrase_candidate_cap, WINDOW_SIZE)
         while True:
             fa = _build_phrase_pass_a(

@@ -1,13 +1,18 @@
-"""Phrase verification (hybrid device/host pass).
+"""Phrase verification (device pass, host fallback).
 
 The reference verifies phrases per document inside the iterator tree:
 Phrase::next leapfrogs the member conjunction, materializes every member's
 hits and tests adjacency through DocWordsSpace (docset_iterators.cpp:66-224,
 docwordspace.h:58-127). Here the conjunction runs densely on device
 (stage 1 freq tiles), candidates are compacted on device, and adjacency is
-verified as one vectorized host pass over the candidates' position runs —
-gathered directly from the positions stream via the hits-offset tiles (the
-materialize_hits analog, lucene_codec.cpp:767-856).
+verified ON DEVICE inside the same jitted program
+(verify_phrases_device): member position runs are gathered straight from
+the plane-packed positions stream via the hits-offset tiles (the
+materialize_hits analog, lucene_codec.cpp:767-856) with static per-member
+caps, and adjacency is an all-pairs compare + reduce. Members whose
+segment-wide max freq exceeds the cap ladder fall back to the vectorized
+host pass (verify_phrase_candidates), which is also what the lazy
+bound-ordered single-phrase path uses for its early-exit chunks.
 
 collect_phrases() fixes the phrase enumeration order shared by the device
 pass A (candidate extraction) and pass C (tape evaluation with injected
@@ -19,6 +24,12 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import numpy as np
+
+# Per-member position-count cap ladder for the DEVICE verification path:
+# gathers are padded to a bucket so plan shapes share compiled programs.
+# Members whose segment-wide max freq exceeds the last rung fall back to the
+# host pass (stopword-grade terms inside a phrase; rare and still correct).
+FCAP_LADDER = (8, 64, 512)
 
 
 def collect_phrases(tape) -> List[Tuple[tuple, int]]:
@@ -40,6 +51,115 @@ def collect_phrases(tape) -> List[Tuple[tuple, int]]:
 
     walk(tape)
     return out
+
+
+def fcap_bucket(max_freq: int) -> int | None:
+    """Smallest ladder rung >= max_freq, or None (host fallback)."""
+    for b in FCAP_LADDER:
+        if max_freq <= b:
+            return b
+    return None
+
+
+def _decode_member_lanes(hit_pw, hit_off, poc, pfc_m, fcap, jnp):
+    """Decode the plane-packed groups covering one member's position run.
+
+    poc/pfc_m: (c,) member offsets/freqs. Returns (vals (c, L) i32,
+    run_mask (c, L) bool) where L = n_groups*128 lanes starting at the
+    run's first group; run_mask marks the f in-run lanes.
+
+    This is the TPU-shaped decode: the run [o, o+f) touches n_groups
+    consecutive 128-value groups; each group's <=14 bit planes span <=2
+    consecutive word rows of the packed matrix, so the whole read is row
+    gathers (measured ~170x faster than flat element gathers on v5e) plus
+    a vectorized contiguous-bit-field extract over all 128 lanes — the
+    same trick as utils/bitpack.py:unpack_value_groups, batched."""
+    ng = (fcap + 126) // 128 + 1
+    G = hit_off.shape[0] - 1  # groups in the stream
+    R = hit_pw.shape[0]  # word rows incl. guard
+    g0 = jnp.clip(poc >> 7, 0, max(0, G - 1))  # (c,)
+    gs = jnp.clip(
+        g0[:, None] + jnp.arange(ng + 1, dtype=jnp.int32)[None, :], 0, G
+    )
+    offv = hit_off[gs]  # (c, ng+1) plane-row offsets
+    p0 = offv[:, :ng]
+    b = (offv[:, 1:] - p0).astype(jnp.uint32)  # bit width per group
+    r0 = jnp.clip(p0 >> 5, 0, R - 1)
+    sh = (p0 & 31).astype(jnp.uint32)
+    w0 = hit_pw[r0]  # (c, ng, 128) row gathers
+    w1 = hit_pw[jnp.clip(r0 + 1, 0, R - 1)]
+    hi = jnp.where(
+        (sh > 0)[..., None],
+        w1 << (((jnp.uint32(32) - sh) & jnp.uint32(31))[..., None]),
+        jnp.uint32(0),
+    )
+    vals = ((w0 >> sh[..., None]) | hi) & (
+        ((jnp.uint32(1) << b) - jnp.uint32(1))[..., None]
+    )
+    c = poc.shape[0]
+    vals = vals.astype(jnp.int32).reshape(c, ng * 128)
+    lane = jnp.arange(ng * 128, dtype=jnp.int32)[None, :]
+    lo = (poc & 127)[:, None]
+    run = (lane >= lo) & (lane < lo + pfc_m[:, None])
+    return vals, run
+
+
+def verify_phrases_device(
+    hit_pw,
+    hit_off,
+    valid,
+    freqs,
+    offs,
+    fcaps: Tuple[int, ...],
+    chunk_budget: int = 1 << 26,
+):
+    """Device twin of verify_phrase_candidates: exact phrase frequency per
+    candidate, computed inside the jitted program (no host round-trip).
+
+    valid: bool (...,), freqs/offs: i32 (..., K); fcaps[m] is a static
+    position-count cap >= member m's segment-wide max freq (so the decoded
+    group count is static and never truncates a run). Adjacency is an
+    all-pairs compare in the decoded lane domain under run masks — no
+    element gathers anywhere. Candidates chunk through lax.map when the
+    compare volume would exceed chunk_budget elements."""
+    import jax
+    import jax.numpy as jnp
+
+    lead = valid.shape
+    k = freqs.shape[-1]
+    assert k >= 2 and len(fcaps) == k
+    n = int(np.prod(lead))
+    pf2 = freqs.reshape(n, k)
+    po2 = offs.reshape(n, k)
+
+    def one_chunk(args):
+        pfc, poc = args  # (c, K)
+        start, ok = _decode_member_lanes(
+            hit_pw, hit_off, poc[:, 0], pfc[:, 0], fcaps[0], jnp
+        )
+        for m in range(1, k):
+            vals, run = _decode_member_lanes(
+                hit_pw, hit_off, poc[:, m], pfc[:, m], fcaps[m], jnp
+            )
+            tgt = start + m  # (c, L0)
+            hit = (
+                (vals[:, None, :] == tgt[:, :, None]) & run[:, None, :]
+            ).any(axis=2)
+            ok = ok & hit
+        return ok.sum(axis=1).astype(jnp.int32)
+
+    lanes = [((f + 126) // 128 + 1) * 128 for f in fcaps]
+    vol = lanes[0] * max(lanes[1:])
+    chunk = max(128, chunk_budget // max(1, vol))
+    if chunk >= n:
+        out = one_chunk((pf2, po2))
+    else:
+        nc = -(-n // chunk)
+        pad = nc * chunk - n
+        pf3 = jnp.pad(pf2, ((0, pad), (0, 0))).reshape(nc, chunk, k)
+        po3 = jnp.pad(po2, ((0, pad), (0, 0))).reshape(nc, chunk, k)
+        out = jax.lax.map(one_chunk, (pf3, po3)).reshape(-1)[:n]
+    return jnp.where(valid, out.reshape(lead), 0)
 
 
 def verify_phrase_candidates(

@@ -218,6 +218,8 @@ class MeshExecutor:
         if getattr(self, "_executors", None) is None:
             from trinity_tpu.exec.executor import Executor
 
+            import jax.numpy as jnp
+
             exes = []
             for i, s in enumerate(self.shards):
                 ex = Executor.__new__(Executor)
@@ -225,6 +227,12 @@ class MeshExecutor:
                 ex.interpret = self.interpret
                 ex.bmeta = self.bmeta[i]
                 ex.planes = self.planes[i]
+                hp = np.ascontiguousarray(s.hit_planes, dtype=np.uint32)
+                ex.hit_pw = jnp.asarray(
+                    np.vstack([hp, np.zeros((1, 128), np.uint32)])
+                )
+                ex.hit_off = jnp.asarray(s.hit_group_off.astype(np.int32))
+                ex._max_freq_cache = {}
                 ex._deleted = None
                 ex._deleted_np = None
                 exes.append(ex)
