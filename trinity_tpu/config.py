@@ -21,7 +21,6 @@ class Config:
     batch_buckets: tuple = (1, 4, 16, 64)  # search_batch group padding
     term_buckets: tuple = (4, 8, 16, 32, 64, 128)  # kernel term-axis padding
     phrase_candidate_cap: int = 2048  # initial per-window phrase candidates
-    phrase_fused_candidates: int = 512  # initial cap, fused device-verify path
     phrase_lazy_candidates: int = 8192  # bound-ordered pull (lazy phrase path)
     rich_candidate_cap: int = 2048  # initial rich-match candidates
     default_k: int = 10

@@ -35,6 +35,35 @@ from trinity_tpu.query.parser import Query, parse_query
 
 NEG_INF = float("-inf")
 
+# Candidate-capacity ladder for fused phrase programs: C is chosen from the
+# per-window candidate BOUND (min member blocks * BLOCK_SIZE, known on host
+# from the cell tables), so pass A can never overflow and the program runs
+# without any host sync. Bucketing bounds compile variants per tape shape.
+PHRASE_C_LADDER = (128, 512, 2048, 8192, 16384)
+
+
+def _phrase_c_bound(cn_h, phrase_slots, col=None):
+    """Upper bound on per-window phrase candidates from block counts.
+    cn_h: (W, T*) host block-count table; col maps a slot to its column."""
+    from trinity_tpu.limits import BLOCK_SIZE
+
+    if col is None:
+        col = lambda s: s
+    bound = 0
+    for slots in phrase_slots:
+        per_w = np.min(
+            np.stack([cn_h[:, col(s)] for s in slots]), axis=0
+        ) * BLOCK_SIZE
+        bound = max(bound, int(per_w.max(initial=0)))
+    return min(bound, WINDOW_SIZE)
+
+
+def _phrase_c_bucket(bound):
+    for b in PHRASE_C_LADDER:
+        if bound <= b:
+            return min(b, WINDOW_SIZE)
+    return WINDOW_SIZE
+
 
 def _pad_T(t: int) -> int:
     """Pad the term axis to a bucket: the Pallas kernel is compiled per
@@ -1233,22 +1262,26 @@ class Executor:
             tuple(plan for _, plan in members), phrase_slots
         )
         if fcaps is not None:
-            C = min(get_config().phrase_fused_candidates, WINDOW_SIZE)
-            while True:
-                fn = _build_phrase_batch_fused(
-                    key, scorer, W, T, B, k, C, phrase_slots, fcaps,
-                    self.interpret,
-                )
-                cnts, res = fn(
-                    self.bmeta, self.planes, jnp.asarray(cs), jnp.asarray(cn),
-                    self.hit_pw, self.hit_off, jnp.asarray(weights),
-                    np.int32(seg.n_docs), self._deleted,
-                )
-                if C >= WINDOW_SIZE:
-                    return res
-                if int(np.asarray(cnts).max(initial=0)) <= C:
-                    return res
-                C = WINDOW_SIZE
+            bound = max(
+                (
+                    _phrase_c_bound(
+                        cn, phrase_slots, col=lambda s, b=bi: b * T + s
+                    )
+                    for bi in range(len(members))
+                ),
+                default=0,
+            )
+            C = _phrase_c_bucket(bound)
+            fn = _build_phrase_batch_fused(
+                key, scorer, W, T, B, k, C, phrase_slots, fcaps,
+                self.interpret,
+            )
+            _, res = fn(
+                self.bmeta, self.planes, jnp.asarray(cs), jnp.asarray(cn),
+                self.hit_pw, self.hit_off, jnp.asarray(weights),
+                np.int32(seg.n_docs), self._deleted,
+            )
+            return res
         C = min(get_config().phrase_candidate_cap, WINDOW_SIZE)
         while True:
             fa = _build_phrase_batch_a(phrase_slots, W, T, B, C, self.interpret)
@@ -1364,22 +1397,23 @@ class Executor:
 
         fcaps = self._phrase_fcaps((plan,), phrase_slots)
         if fcaps is not None:
-            C = min(get_config().phrase_fused_candidates, WINDOW_SIZE)
-            while True:
-                fn = _build_phrase_fused(
-                    plan.tape, scorer, W, _pad_T(plan.n_slots), k, C,
-                    phrase_slots, fcaps, self.interpret, mode,
-                )
-                cnts, res = fn(
-                    self.bmeta, self.planes, cs, cn,
-                    self.hit_pw, self.hit_off, weights,
-                    np.int32(seg.n_docs), self._deleted,
-                )
-                if C >= WINDOW_SIZE:
-                    return res
-                if int(np.asarray(cnts).max(initial=0)) <= C:
-                    return res
-                C = WINDOW_SIZE  # one growth step: bounds kernel variants
+            # C >= the exact per-window candidate bound -> pass A can never
+            # overflow: ONE device call, no host sync (pipelineable)
+            from trinity_tpu.ops.postings import compute_cells
+
+            tids = [seg.term_id(t) for t in plan.term_texts]
+            _, cn_h = compute_cells(seg, tids)
+            C = _phrase_c_bucket(_phrase_c_bound(cn_h, phrase_slots))
+            fn = _build_phrase_fused(
+                plan.tape, scorer, W, _pad_T(plan.n_slots), k, C,
+                phrase_slots, fcaps, self.interpret, mode,
+            )
+            _, res = fn(
+                self.bmeta, self.planes, cs, cn,
+                self.hit_pw, self.hit_off, weights,
+                np.int32(seg.n_docs), self._deleted,
+            )
+            return res
         C = min(get_config().phrase_candidate_cap, WINDOW_SIZE)
         while True:
             fa = _build_phrase_pass_a(
