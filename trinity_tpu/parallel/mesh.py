@@ -127,15 +127,10 @@ def _build_sharded_fn(tape, scorer_name, S, W, T, k, interpret, axis, mesh):
         )
         mask = mask & (gid < n_docs[0])
         scores = jnp.where(mask, score, NEG_INF)
-        pv, pi = jax.lax.top_k(scores, k)
-        cand_v = pv.reshape(-1)
-        cand_i = (
-            pi + jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
-        ).reshape(-1)
-        gv, gidx = jax.lax.top_k(cand_v, k)
+        gv, gi = jax.lax.top_k(scores.reshape(-1), k)  # flat: docid ties
         # global docid = shard base + local id; shards are docid-ordered so
         # the final cross-shard merge keeps docid-ascending tie-breaks
-        return gv[None], (cand_i[gidx] + base[0])[None]
+        return gv[None], (gi + base[0])[None]
 
     def run(bmeta, planes, cs, cn, weights, n_docs, base):
         f = jax.shard_map(
