@@ -196,3 +196,24 @@ def test_phrase_fcap_host_fallback():
     np.testing.assert_allclose(
         [r.score for r in got], [s for _, s in want], rtol=2e-6
     )
+
+
+def test_lazy_fused_overflow_fallback(small):
+    """Tiny C2 forces conjunction overflow: the fused-lazy program must
+    flag unresolved queries and the dense fallback must keep exact parity."""
+    from trinity_tpu.config import configure, get_config
+
+    ex, corpus = small
+    old = get_config().phrase_lazy_candidates
+    configure(phrase_lazy_candidates=4)
+    try:
+        for qtext in ('"t0 t1"', '"t0 t1" ', '"t2 t2"'):
+            q = parse_query(qtext)
+            got = ex.search(q, k=10, scorer="bm25")
+            want = oracle_search(corpus, q.root, k=10, scorer="bm25")
+            assert ids(got) == [d for d, _ in want], qtext
+            np.testing.assert_allclose(
+                [r.score for r in got], [s for _, s in want], rtol=2e-6
+            )
+    finally:
+        configure(phrase_lazy_candidates=old)

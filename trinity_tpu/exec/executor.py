@@ -307,6 +307,74 @@ def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
 
 
 @functools.lru_cache(maxsize=256)
+def _build_phrase_lazy_fused(
+    slots, W, T, B, C2, fcaps, scorer_name, k, interpret
+):
+    """Fully-fused lazy phrase execution for pure-phrase tapes: ONE device
+    program ranks ALL member-conjunction candidates by the phrase-score
+    bound (min member freq), pulls the top C2 per query, verifies their
+    positions ON DEVICE, scores, and selects top-k. Returns a per-query
+    `resolved` flag: False when the conjunction overflowed C2 AND the k-th
+    verified score doesn't strictly beat the best unpulled bound (the rare
+    case where the dense fallback must run). Candidates are re-sorted by
+    docid before scoring so score ties keep the docid-asc invariant."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.exec.phrases import verify_phrases_device
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(bmeta, planes, cs, cn, hit_pw, hit_off, weights, n_docs, deleted):
+        tiles, offs = materialize_freq_tiles(
+            bmeta, planes, cs, cn,
+            n_windows=W, n_terms=B * T, interpret=interpret,
+            with_offsets=True,
+        )
+        n = W * WINDOW_SIZE
+        freq = tiles.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        offv = offs.reshape(W, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        member_f = [freq[:, :, s, :].reshape(B, n) for s in slots]
+        member_o = [offv[:, :, s, :].reshape(B, n) for s in slots]
+        bound = member_f[0]
+        for f in member_f[1:]:
+            bound = jnp.minimum(bound, f)  # 0 if any member missing
+        kb, ki = jax.lax.top_k(bound, C2)  # (B, C2) bound desc
+        cnt = (bound > 0).sum(axis=1)
+        overflow = cnt > C2
+        min_kept = kb[:, -1]
+        # docid order for the score tie-break
+        order = jnp.argsort(ki, axis=1)
+        ki = jnp.take_along_axis(ki, order, axis=1)
+        valid = jnp.take_along_axis(kb, order, axis=1) > 0
+        pf = jnp.stack(
+            [jnp.take_along_axis(f, ki, axis=1) for f in member_f], axis=-1
+        ).astype(jnp.int32)
+        po = jnp.stack(
+            [jnp.take_along_axis(o, ki, axis=1) for o in member_o], axis=-1
+        )
+        pfreq = verify_phrases_device(hit_pw, hit_off, valid, pf, po, fcaps)
+        live = (pfreq > 0) & valid
+        if deleted is not None:
+            live = live & ~deleted[ki]
+        score = scorer_cls.score_tile(
+            pfreq.astype(jnp.float32), weights[:, None]
+        )
+        scores = jnp.where(live, score, NEG_INF)
+        kk = min(k, C2)
+        gv, gidx = jax.lax.top_k(scores, kk)  # ties -> lower docid (sorted)
+        gi = jnp.take_along_axis(ki, gidx, axis=1)
+        if kk < k:  # C2 smaller than k: can only resolve via ~overflow
+            gv = jnp.pad(gv, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+            gi = jnp.pad(gi, ((0, 0), (0, k - kk)))
+        kth = gv[:, k - 1]
+        thresh = scorer_cls.score_tile(min_kept.astype(jnp.float32), weights)
+        resolved = (~overflow) | (kth > thresh)
+        return gv, gi, resolved
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=256)
 def _build_phrase_lazy_a(slots, W, T, B, C2, interpret):
     """Device pass for lazy single-phrase execution: rank ALL member-
     conjunction candidates by the phrase-score bound (min member freq) with
@@ -1104,6 +1172,74 @@ class Executor:
                 [df_of(t) for t in plan.weight_terms[key[2]]], docs_cnt
             )
         C2 = get_config().phrase_lazy_candidates
+
+        def dense_fallback(plan):
+            """Per-query dense execution (rare: bound order unresolved)."""
+            c_s, c_n = compute_cells(
+                seg, [seg.term_id(t) for t in plan.term_texts]
+            )
+            pad = T - plan.n_slots
+            if pad:
+                c_s = np.pad(c_s, ((0, 0), (0, pad)))
+                c_n = np.pad(c_n, ((0, 0), (0, pad)))
+            wvec = np.array(
+                [
+                    model.weight([df_of(t) for t in terms], docs_cnt)
+                    for terms in plan.weight_terms
+                ],
+                np.float32,
+            )
+            return jax.device_get(
+                self._run_phrase(
+                    plan, jnp.asarray(c_s), jnp.asarray(c_n),
+                    jnp.asarray(wvec), scorer, k, "search",
+                )
+            )
+
+        fcaps_t = self._phrase_fcaps(
+            tuple(p for _, p in members), (slots,)
+        )
+        if fcaps_t is not None and k >= 1:
+            # fully-fused: bound-ranked candidates verified ON DEVICE in the
+            # same program; host only reads back (gv, gi, resolved).
+            # The segment-wide conjunction count is bounded by the rarest
+            # member's blocks (cn*128 summed over windows): a C2 at least
+            # that large makes overflow impossible and shrinks the top_k.
+            total_bound = 0
+            for bi in range(len(members)):
+                per_w = np.min(
+                    np.stack([cn[:, bi * T + s] for s in slots]), axis=0
+                )
+                total_bound = max(total_bound, int(per_w.sum()) * 128)
+            for c2b in (1024, 2048, 4096):
+                if total_bound <= c2b <= C2:
+                    C2 = c2b
+                    break
+            fn = _build_phrase_lazy_fused(
+                slots, W, T, B, C2, fcaps_t[0], scorer, k, self.interpret
+            )
+            gv, gi, resolved = (
+                np.asarray(x)
+                for x in jax.device_get(
+                    fn(
+                        self.bmeta, self.planes,
+                        jnp.asarray(cs), jnp.asarray(cn),
+                        self.hit_pw, self.hit_off, jnp.asarray(weights),
+                        np.int32(seg.n_docs), self._deleted,
+                    )
+                )
+            )
+            out_v = gv.astype(np.float32)
+            out_i = gi.astype(np.int64)
+            for bi, (qi, plan) in enumerate(members):
+                if not resolved[bi]:
+                    fv, fi = dense_fallback(plan)
+                    nkeep = min(len(fv), k)
+                    out_v[bi] = NEG_INF
+                    out_v[bi, :nkeep] = fv[:nkeep]
+                    out_i[bi, :nkeep] = fi[:nkeep]
+            return out_v, out_i
+
         fn = _build_phrase_lazy_a(slots, W, T, B, C2, self.interpret)
         gids, bounds, pf, po, overflow = (
             np.asarray(x)
@@ -1155,31 +1291,7 @@ class Executor:
             if not resolved:
                 # bound order didn't resolve within the pulled candidates:
                 # dense fallback for this query alone (rare)
-                c_s, c_n = compute_cells(
-                    seg, [seg.term_id(t) for t in plan.term_texts]
-                )
-                pad = T - plan.n_slots
-                if pad:
-                    c_s = np.pad(c_s, ((0, 0), (0, pad)))
-                    c_n = np.pad(c_n, ((0, 0), (0, pad)))
-                wvec = np.array(
-                    [
-                        model.weight([df_of(t) for t in terms], docs_cnt)
-                        for terms in plan.weight_terms
-                    ],
-                    np.float32,
-                )
-                gv, gi = jax.device_get(
-                    self._run_phrase(
-                        plan,
-                        jnp.asarray(c_s),
-                        jnp.asarray(c_n),
-                        jnp.asarray(wvec),
-                        scorer,
-                        k,
-                        "search",
-                    )
-                )
+                gv, gi = dense_fallback(plan)
                 nkeep = min(len(gv), k)
                 out_v[bi, :nkeep] = gv[:nkeep]
                 out_i[bi, :nkeep] = gi[:nkeep]
