@@ -1202,17 +1202,19 @@ class Executor:
         if fcaps_t is not None and k >= 1:
             # fully-fused: bound-ranked candidates verified ON DEVICE in the
             # same program; host only reads back (gv, gi, resolved).
-            # The segment-wide conjunction count is bounded by the rarest
-            # member's blocks (cn*128 summed over windows): a C2 at least
-            # that large makes overflow impossible and shrinks the top_k.
+            # The conjunction count is bounded by the rarest member's
+            # SEGMENT df (exact, no window granularity): a C2 at least that
+            # large makes overflow impossible, and the whole candidate
+            # pipeline (top_k, gathers, verify) shrinks with it.
             total_bound = 0
-            for bi in range(len(members)):
-                per_w = np.min(
-                    np.stack([cn[:, bi * T + s] for s in slots]), axis=0
-                )
-                total_bound = max(total_bound, int(per_w.sum()) * 128)
-            for c2b in (1024, 2048, 4096):
-                if total_bound <= c2b <= C2:
+            for bi, (qi, plan) in enumerate(members):
+                dfs = []
+                for s in slots:
+                    tid = seg.term_id(plan.term_texts[s])
+                    dfs.append(int(seg.term_df[tid]) if tid >= 0 else 0)
+                total_bound = max(total_bound, min(dfs))
+            for c2b in (256, 512, 1024, 2048, 4096):
+                if total_bound <= c2b <= C2 and k <= c2b:
                     C2 = c2b
                     break
             fn = _build_phrase_lazy_fused(
