@@ -77,7 +77,8 @@ int64_t trin_build_blocks(
         }
         prev = d;
         const uint32_t fr = p_freq[off + i];
-        if (fr == 0 || fr > (1u << 16)) return -1;
+        // >= : freq == 2^16 would wrap the uint16 block_max_freq WAND bound
+        if (fr == 0 || fr >= (1u << 16)) return -1;
         f1[i] = fr - 1;
         if (f1[i] > max_f1) max_f1 = f1[i];
       }

@@ -31,7 +31,7 @@ def _check(got, corpus, qtext, **kw):
     want = oracle_search(corpus, q.root, k=10, **kw)
     assert [r.doc_id for r in got] == [d for d, _ in want], qtext
     np.testing.assert_allclose(
-        [r.score for r in got], [s for _, s in want], rtol=2e-6, atol=1e-7
+        [r.score for r in got], [s for _, s in want], rtol=2.4e-7, atol=0
     )
 
 

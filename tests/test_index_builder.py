@@ -166,3 +166,37 @@ def test_persist_load_with_payloads(tmp_path):
     np.testing.assert_array_equal(
         term_positions(seg2, tid, 0), term_positions(seg, tid, 0)
     )
+
+
+def test_freq_boundary_65535_ok_65536_rejected():
+    """Boundary at 2^16: 65535 encodes exactly; 65536 would wrap the uint16
+    block_max_freq WAND bound to 0 and must be rejected (builder + native)."""
+    sess = SegmentIndexSession()
+    p = sess.begin(1)
+    for _ in range(65535):
+        p.insert("hot", 1)
+    p.insert("other", 2)
+    sess.insert(p)
+    seg = sess.commit()
+    tid = seg.term_id("hot")
+    d, f = term_postings(seg, tid)
+    assert f[0] == 65535
+    assert seg.block_max_freq[seg.term_block_start[tid]] == 65535
+
+    sess2 = SegmentIndexSession()
+    p = sess2.begin(1)
+    for _ in range(65536):
+        p.insert("hot", 1)
+    sess2.insert(p)
+    with pytest.raises(ValueError):
+        sess2.commit()
+
+
+def test_bulk_index_position_limit():
+    """bulk_index enforces MaxPosition like DocumentProxy.insert."""
+    from trinity_tpu.limits import MAX_POSITION
+
+    sess = SegmentIndexSession()
+    with pytest.raises(ValueError):
+        sess.bulk_index([1], [["t"] * MAX_POSITION])
+    sess.bulk_index([2], [["t"] * (MAX_POSITION - 1)])  # max legal length

@@ -203,3 +203,17 @@ def test_assign_indices_or_overlap():
     walk(q.root)
     assert pos["a"] == 0 and pos["b"] == 0 and pos["c"] == 1
     assert pos["d"] == 2
+
+
+def test_oversized_query_trimmed_not_nullified():
+    """Queries over MaxQueryTokens are trimmed to the cap (query::trim,
+    queries.cpp:1503), not nullified: leading tokens survive."""
+    from trinity_tpu.limits import MAX_QUERY_TOKENS
+
+    big = " ".join(f"t{i}" for i in range(MAX_QUERY_TOKENS + 50))
+    q = P(big, normalize=True)
+    assert q.root is not None
+    # leading token retained, trailing token dropped
+    s = node_to_str(q.root)
+    assert "t0" in s
+    assert f"t{MAX_QUERY_TOKENS + 49}" not in s

@@ -44,7 +44,7 @@ def test_phrase_topk_parity(small, qtext, scorer):
     want = oracle_search(corpus, q.root, k=10, scorer=scorer)
     assert ids(got) == [d for d, _ in want], f"{qtext} ids"
     np.testing.assert_allclose(
-        [r.score for r in got], [s for _, s in want], rtol=2e-6, atol=1e-7
+        [r.score for r in got], [s for _, s in want], rtol=2.4e-7, atol=0
     )
 
 
@@ -194,7 +194,7 @@ def test_phrase_fcap_host_fallback():
     want = oracle_search(corpus, q.root, k=10, scorer="trivial")
     assert ids(got) == [d for d, _ in want]
     np.testing.assert_allclose(
-        [r.score for r in got], [s for _, s in want], rtol=2e-6
+        [r.score for r in got], [s for _, s in want], rtol=2.4e-7, atol=0
     )
 
 
@@ -213,7 +213,7 @@ def test_lazy_fused_overflow_fallback(small):
             want = oracle_search(corpus, q.root, k=10, scorer="bm25")
             assert ids(got) == [d for d, _ in want], qtext
             np.testing.assert_allclose(
-                [r.score for r in got], [s for _, s in want], rtol=2e-6
+                [r.score for r in got], [s for _, s in want], rtol=2.4e-7, atol=0
             )
     finally:
         configure(phrase_lazy_candidates=old)

@@ -28,10 +28,6 @@ class Config:
     rich_candidate_cap: int = 2048  # initial rich-match candidates
     default_k: int = 10
     default_scorer: str = "bm25"
-    # kernels
-    row_chunk: int = 32  # plane rows per DMA chunk (ops/postings.py)
-    # percolator
-    percolator_stack_depth_pad: int = 0  # extra stack slack
     # host
     use_native: bool = True  # libtrinity_host.so if built
 

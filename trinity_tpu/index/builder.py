@@ -93,6 +93,13 @@ class SegmentIndexSession:
         the reference's buffered commit pipeline (indexer.cpp:311-420).
         docs_tokens: sequence of token lists, positions assigned
         first_pos..len (token-parser output order)."""
+        docs_tokens = list(docs_tokens)
+        max_len = max((len(t) for t in docs_tokens), default=0)
+        if max_len and first_pos + max_len - 1 >= MAX_POSITION:
+            # same limit DocumentProxy.insert enforces per hit
+            raise ValueError(
+                f"position {first_pos + max_len - 1} >= MaxPosition {MAX_POSITION}"
+            )
         flat = [t for toks in docs_tokens for t in toks]
         if not flat:
             for d in doc_ids:
@@ -214,8 +221,11 @@ def _build_segment(
         term_block_start[1:] = np.cumsum(term_nblocks[:-1])
     n_blocks = int(term_nblocks.sum())
 
-    if n_postings and int(p_freq.max()) > (1 << MAX_FREQ_BITS):
-        raise ValueError("per-document term frequency exceeds 2^16")
+    if n_postings and int(p_freq.max()) >= (1 << MAX_FREQ_BITS):
+        # >= : freq == 2^16 would wrap the uint16 block_max_freq WAND bound
+        # to 0 (dropping true top-k docs in search_pruned) and overflow the
+        # device verifier's fcap sizing
+        raise ValueError("per-document term frequency must be < 2^16")
     posting_start = np.zeros(n_terms + 1, np.int64)
     posting_start[:-1] = np.searchsorted(p_tid, np.arange(n_terms))
     posting_start[-1] = n_postings

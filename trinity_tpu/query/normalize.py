@@ -379,10 +379,50 @@ def _assign_indices(n: Node, ctx: _AssignCtx) -> None:
             ctx.next_index = max(max_l, ctx.next_index)
 
 
+def _trim(n: Node, budget: List[int]) -> Node:
+    """Drop tokens past the MaxQueryTokens budget in query order, replacing
+    them with dummies (query::trim, queries.cpp:1503-1524: nodes beyond the
+    cap are set_dummy() and the query renormalized)."""
+    if isinstance(n, Phrase):
+        budget[0] -= n.size
+        return Dummy() if budget[0] < 0 else n
+    if isinstance(n, BinOp):
+        n.lhs = _trim(n.lhs, budget)
+        n.rhs = _trim(n.rhs, budget)
+    elif isinstance(n, (UnaryOp, ConstTrueExpr)):
+        n.expr = _trim(n.expr, budget)
+    elif isinstance(n, MatchSome):
+        n.nodes = [_trim(c, budget) for c in n.nodes]
+    return n
+
+
+def _node_count(root: Node) -> int:
+    """Iterative node count (recursion-safe on deep operator chains)."""
+    n = 0
+    stack = [root]
+    while stack:
+        x = stack.pop()
+        n += 1
+        if isinstance(x, BinOp):
+            stack += (x.lhs, x.rhs)
+        elif isinstance(x, (UnaryOp, ConstTrueExpr)):
+            stack.append(x.expr)
+        elif isinstance(x, MatchSome):
+            stack += x.nodes
+    return n
+
+
 def normalize_root(root: Optional[Node]) -> Tuple[Optional[Node], int]:
     """normalize_root (queries.cpp:1251-1348). Returns (root | None, index count)."""
     if root is None:
         return None, 0
+    import sys
+
+    # the rewrite passes recurse; giant (post-trim) queries chain thousands
+    # of binops deep, so size the Python stack to the tree once up front
+    need = _node_count(root) * 4 + 1000
+    if sys.getrecursionlimit() < need:
+        sys.setrecursionlimit(need)
     ctx = _Ctx()
     while True:
         ctx.updates = 0
@@ -391,7 +431,14 @@ def normalize_root(root: Optional[Node]) -> Tuple[Optional[Node], int]:
         if not ctx.updates:
             break
     if ctx.tokens_cnt > MAX_QUERY_TOKENS:
-        return None, 0
+        # trim to the cap instead of nullifying (queries.cpp:1503)
+        root = _trim(root, [MAX_QUERY_TOKENS])
+        while True:
+            ctx.updates = 0
+            ctx.tokens_cnt = 0
+            root = _normalize(root, ctx)
+            if not ctx.updates:
+                break
     if _is_dummy(root) or _is_false(root):
         return None, 0
     if isinstance(root, UnaryOp):
