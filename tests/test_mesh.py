@@ -56,3 +56,94 @@ def test_mesh_phrase_parity(sharded):
         a = [(r.doc_id, r.score) for r in ex.search(qtext, k=10)]
         b = [(r.doc_id, r.score) for r in mex.search(qtext, k=10)]
         assert a == b, qtext
+
+
+def test_sharded_deletion_masks_applied_by_program(sharded):
+    """Masked docs are excluded BY the sharded program itself (deletion-mask
+    tiles are a sharded input of _build_sharded_fn), matching the
+    single-device executor with the same registry."""
+    seg, ex, mex = sharded
+    # mask the current top-5 docs of a query
+    qtext = "t0 t1"
+    base = ex.search(qtext, k=10)
+    masked_app = [r.doc_id for r in base[:5]]
+    app2loc = {int(a): i for i, a in enumerate(seg.doc_map)}
+    local = np.array(sorted(app2loc[a] for a in masked_app), np.int64)
+    try:
+        ex.set_masked_local_docs(local)
+        mex.set_masked_local_docs(local)
+        a = [(r.doc_id, r.score) for r in ex.search(qtext, k=10)]
+        b = [(r.doc_id, r.score) for r in mex.search(qtext, k=10)]
+        assert [x[0] for x in a] == [x[0] for x in b]
+        assert not set(masked_app) & {x[0] for x in b}
+        # pending handle proves the boolean path ran sharded (not host loop)
+        p = mex.launch(qtext, k=10)
+        assert p[0] == "bool"
+        mex.finish(p)
+        # phrase query under the same masks, through the sharded program
+        pq = '"t0 t1"'
+        ap = [(r.doc_id, r.score) for r in ex.search(pq, k=10)]
+        pp = mex.launch(pq, k=10)
+        assert pp[0] == "phrase", "phrase should run inside shard_map"
+        bp = [(r.doc_id, r.score) for r in mex.finish(pp, k=10)]
+        assert [x[0] for x in ap] == [x[0] for x in bp]
+        np.testing.assert_allclose(
+            [x[1] for x in ap], [x[1] for x in bp], rtol=1e-6
+        )
+    finally:
+        ex.set_masked_local_docs(None)
+        mex.set_masked_local_docs(None)
+
+
+def test_mesh_phrase_runs_in_one_program(sharded):
+    """Phrase tapes execute under shard_map (no sequential host loop):
+    launch() returns a sharded-phrase pending whose payload already holds
+    per-shard (k,) results for every shard at once."""
+    _, _, mex = sharded
+    p = mex.launch('"t1 t2"', k=10)
+    assert p[0] == "phrase"
+    sv, si, res = p[1]
+    assert sv.shape == (len(mex.shards), 10)
+    assert bool(np.asarray(res).all())
+    mex.finish(p)
+
+
+def test_mesh_sources_collection_config5():
+    """BASELINE config #5: multi-segment with merge + deletion masks,
+    sharded over the mesh — parity with the unsharded collection."""
+    from trinity_tpu.index.builder import SegmentIndexSession
+    from trinity_tpu.index.source import IndexSourcesCollection
+    from trinity_tpu.parallel import MeshSourcesCollection
+
+    rng = np.random.default_rng(77)
+
+    def build(lo, hi, update_ids=()):
+        sess = SegmentIndexSession()
+        for d in range(lo, hi):
+            p = sess.begin(d)
+            toks = [f"t{int(x)}" for x in rng.integers(0, 40, rng.integers(3, 9))]
+            for pos, t in enumerate(toks, 1):
+                p.insert(t, pos)
+            sess.insert(p)
+        for d in update_ids:  # re-adds shadow older copies
+            p = sess.begin(d)
+            for pos, t in enumerate(["t1", "t2", "t3"], 1):
+                p.insert(t, pos)
+            sess.insert(p)
+        return sess.commit()
+
+    seg_a = build(0, 30_000)
+    seg_b = build(30_000, 50_000, update_ids=range(0, 200, 7))
+
+    flat = IndexSourcesCollection()
+    flat.add_segment(seg_a, generation=1).add_segment(seg_b, generation=2)
+    flat.commit()
+
+    meshc = MeshSourcesCollection(n_shards=4)
+    meshc.add_segment(seg_a, generation=1).add_segment(seg_b, generation=2)
+    meshc.commit()
+
+    for qtext in ["t1 t2", "t5 OR t9", "t3 NOT t4", '"t1 t2"']:
+        a = [(r.doc_id, round(r.score, 4)) for r in flat.search(qtext, k=10)]
+        b = [(r.doc_id, round(r.score, 4)) for r in meshc.search(qtext, k=10)]
+        assert [x[0] for x in a] == [x[0] for x in b], qtext

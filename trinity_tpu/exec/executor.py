@@ -756,6 +756,19 @@ class Executor:
             jnp.asarray(weights),
         )
 
+    def warmup(self, queries, k: int = 10, scorer: str = "bm25",
+               batch: bool = True) -> None:
+        """Compile (or load from the persistent cache) every device-program
+        variant the given workload can touch, so serving latency never pays
+        an XLA compile. The reference executes any query shape with zero
+        compile cost (exec.cpp:662-666); here compiled programs are keyed by
+        (tape shape, geometry, candidate/fcap buckets), so a serving process
+        should warm with a representative query sample at startup."""
+        for q in queries:
+            self.search(q, k=k, scorer=scorer)
+        if batch:
+            self.search_batch(list(queries), k=k, scorer=scorer)
+
     # -------------------------------------------------------------- search
     def launch(self, query, k=10, scorer="bm25", stats=None, df_of=None):
         """Issue the device program without waiting (multi-source pipelining;

@@ -97,8 +97,14 @@ def split_segment(seg: SegmentData, n_shards: int) -> List[SegmentData]:
 
 
 @functools.lru_cache(maxsize=256)
-def _build_sharded_fn(tape, scorer_name, S, W, T, k, interpret, axis, mesh):
-    """shard_map'd search: each device evaluates its shard, emits (k, k)."""
+def _build_sharded_fn(
+    tape, scorer_name, S, W, T, k, interpret, axis, mesh, with_deleted
+):
+    """shard_map'd search: each device evaluates its shard, emits (k, k).
+    with_deleted adds a per-shard deletion-mask input — the sharded analog
+    of the masked_documents_registry applied inside the score program
+    (docidupdates.h:90-191), so masked docs are excluded BY the sharded
+    program itself."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -108,7 +114,7 @@ def _build_sharded_fn(tape, scorer_name, S, W, T, k, interpret, axis, mesh):
 
     scorer_cls = SIMILARITIES[scorer_name]
 
-    def shard_body(bmeta, planes, cs, cn, weights, n_docs, base):
+    def shard_body(bmeta, planes, cs, cn, weights, n_docs, base, deleted):
         # leading shard axis of size 1 inside the shard
         tiles = materialize_freq_tiles(
             bmeta[0],
@@ -126,26 +132,165 @@ def _build_sharded_fn(tape, scorer_name, S, W, T, k, interpret, axis, mesh):
             + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
         )
         mask = mask & (gid < n_docs[0])
+        if deleted is not None:
+            mask = mask & ~deleted[0].reshape(W, WINDOW_SIZE)
         scores = jnp.where(mask, score, NEG_INF)
         gv, gi = jax.lax.top_k(scores.reshape(-1), k)  # flat: docid ties
         # global docid = shard base + local id; shards are docid-ordered so
         # the final cross-shard merge keeps docid-ascending tie-breaks
         return gv[None], (gi + base[0])[None]
 
-    def run(bmeta, planes, cs, cn, weights, n_docs, base):
+    def run(bmeta, planes, cs, cn, weights, n_docs, base, deleted):
+        in_specs = [P(axis), P(axis), P(axis), P(axis), P(), P(axis), P(axis)]
+        args = [bmeta, planes, cs, cn, weights, n_docs, base]
+        body = shard_body
+        if with_deleted:
+            in_specs.append(P(axis))
+            args.append(deleted)
+        else:
+            body = lambda *a: shard_body(*a, None)
         f = jax.shard_map(
-            shard_body,
+            body,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(axis), P(axis)),
+            in_specs=tuple(in_specs),
             out_specs=(P(axis), P(axis)),
             check_vma=False,  # pallas_call inside can't declare vma yet
         )
-        sv, si = f(bmeta, planes, cs, cn, weights, n_docs, base)  # (S, k)
+        sv, si = f(*args)  # (S, k)
         # cross-shard merge on one logical array (XLA all-gathers over ICI)
         flat_v = sv.reshape(-1)
         flat_i = si.reshape(-1)
         gv, gidx = jax.lax.top_k(flat_v, k)
         return gv, flat_i[gidx]
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_sharded_phrase_fn(
+    tape, scorer_name, S, W, T, C, phrase_slots, fcaps, k, interpret,
+    axis, mesh, with_deleted,
+):
+    """shard_map'd phrase search: the FUSED phrase program (candidate
+    extraction + on-device position verification + tape eval + top-k,
+    exec/executor.py:_build_phrase_fused) runs per shard INSIDE one
+    shard_map — no host loop over shards. Pure-phrase tapes additionally
+    return a per-shard resolved flag (False when candidate compaction
+    overflowed C and the k-th verified score doesn't beat the best
+    unverified bound; the host then densifies just that shard)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from trinity_tpu.exec.executor import _eval_tape, _phrase_a_eval
+    from trinity_tpu.exec.phrases import verify_phrases_device
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    scorer_cls = SIMILARITIES[scorer_name]
+    pure = tape[0] == "phrase"
+
+    def shard_body(
+        bmeta, planes, cs, cn, hit_pw, hit_off, weights, n_docs, base, deleted
+    ):
+        tiles, offs = materialize_freq_tiles(
+            bmeta[0], planes[0], cs[0], cn[0],
+            n_windows=W, n_terms=T, interpret=interpret, with_offsets=True,
+        )
+        freq = tiles.reshape(W, T, WINDOW_SIZE)
+        offv = offs.reshape(W, T, WINDOW_SIZE)
+        del_flat = (
+            deleted[0].reshape(-1) if deleted is not None else None
+        )
+        if pure:
+            slots = tape[1]
+            n = W * WINDOW_SIZE
+            member_f = [freq[:, s, :].reshape(n) for s in slots]
+            member_o = [offv[:, s, :].reshape(n) for s in slots]
+            bound = member_f[0]
+            for f in member_f[1:]:
+                bound = jnp.minimum(bound, f)
+            kb, ki = jax.lax.top_k(bound, C)
+            cnt = (bound > 0).sum()
+            overflow = cnt > C
+            min_kept = kb[-1]
+            order = jnp.argsort(ki)  # docid order for the tie-break
+            ki = jnp.take_along_axis(ki, order, axis=0)
+            valid = jnp.take_along_axis(kb, order, axis=0) > 0
+            pf = jnp.stack([f[ki] for f in member_f], axis=-1).astype(jnp.int32)
+            po = jnp.stack([o[ki] for o in member_o], axis=-1)
+            pfreq = verify_phrases_device(
+                hit_pw[0], hit_off[0], valid, pf, po, fcaps[0]
+            )
+            live = (pfreq > 0) & valid & (ki < n_docs[0])
+            if del_flat is not None:
+                live = live & ~del_flat[ki]
+            w = weights[tape[2]]  # the phrase's weight slot
+            score = scorer_cls.score_tile(pfreq.astype(jnp.float32), w)
+            scores = jnp.where(live, score, NEG_INF)
+            kk = min(k, C)
+            gv, gidx = jax.lax.top_k(scores, kk)
+            gi = ki[gidx]
+            if kk < k:
+                gv = jnp.pad(gv, (0, k - kk), constant_values=NEG_INF)
+                gi = jnp.pad(gi, (0, k - kk))
+            kth = gv[k - 1]
+            thresh = scorer_cls.score_tile(min_kept.astype(jnp.float32), w)
+            resolved = (~overflow) | (kth > thresh)
+            return gv[None], (gi + base[0])[None], resolved[None]
+        # compound tape: fused pass A + device verify + pass C per shard
+        per_phrase = _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp)
+        cnts = jnp.stack([p[2] for p in per_phrase])  # (P, W)
+        phrase_tiles = []
+        rows = jnp.arange(W, dtype=jnp.int32)[:, None]
+        pc = 0
+        for fc, (ki, valid, _, pf, po) in zip(fcaps, per_phrase):
+            pfreq = verify_phrases_device(
+                hit_pw[0], hit_off[0], valid, pf, po, fc
+            )
+            tile = jnp.zeros((W, WINDOW_SIZE), jnp.float32)
+            phrase_tiles.append(
+                tile.at[rows, ki].add(pfreq.astype(jnp.float32))
+            )
+            pc += 1
+        mask, score = _eval_tape(
+            tape, freq, weights, scorer_cls, jnp, phrase_tiles
+        )
+        gid = (
+            jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
+            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+        )
+        mask = mask & (gid < n_docs[0])
+        if deleted is not None:
+            mask = mask & ~deleted[0].reshape(W, WINDOW_SIZE)
+        scores = jnp.where(mask, score, NEG_INF)
+        gv, gi = jax.lax.top_k(scores.reshape(-1), k)
+        resolved = (cnts.max() <= C)  # candidate compaction didn't overflow
+        return gv[None], (gi + base[0])[None], resolved[None]
+
+    def run(bmeta, planes, cs, cn, hit_pw, hit_off, weights, n_docs, base,
+            deleted):
+        in_specs = [
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+            P(axis), P(axis),
+        ]
+        args = [bmeta, planes, cs, cn, hit_pw, hit_off, weights, n_docs, base]
+        body = shard_body
+        if with_deleted:
+            in_specs.append(P(axis))
+            args.append(deleted)
+        else:
+            body = lambda *a: shard_body(*a, None)
+        f = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+        # per-shard results: the host merges after densifying any
+        # unresolved shard (rare) — the caller-side merge contract
+        # (exec.h:55-58), now over ICI-gathered fixed-k rows
+        return f(*args)  # (S, k), (S, k), (S,)
 
     return jax.jit(run)
 
@@ -203,8 +348,69 @@ class MeshExecutor:
         bases = np.zeros(S, np.int64)
         np.cumsum([s.n_docs for s in self.shards[:-1]], out=bases[1:])
         self.base = jnp.asarray(bases, jnp.int32)
+        self._base_np = bases
         # global docid -> app id translation table
         self.doc_map = np.concatenate([s.doc_map for s in self.shards])
+        self._deleted = None  # sharded (S, W*WINDOW) bool or None
+        self._deleted_np = None
+        self._hits = None  # lazily stacked per-shard positions streams
+
+    # ------------------------------------------------------------ plumbing
+    def set_masked_local_docs(self, global_ids: Optional[np.ndarray]):
+        """Install a deletion/update mask (masked_documents_registry analog)
+        as a SHARDED device input: global_ids are collection-local docids
+        (0..sum shard sizes); each shard receives its slice and the sharded
+        program excludes them itself."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        if global_ids is None or len(global_ids) == 0:
+            self._deleted = None
+            self._deleted_np = None
+            return
+        S = len(self.shards)
+        m = np.zeros((S, self.W * WINDOW_SIZE), bool)
+        gids = np.asarray(global_ids, np.int64)
+        shard_of = np.searchsorted(self._base_np, gids, side="right") - 1
+        m[shard_of, gids - self._base_np[shard_of]] = True
+        self._deleted = jax.device_put(
+            jnp.asarray(m), NamedSharding(self.mesh, P(self.axis))
+        )
+        self._deleted_np = m
+
+    def _stacked_hits(self):
+        """Per-shard plane-packed positions streams padded to uniform shape
+        and stacked (S, R, 128) / (S, G+1) for the sharded phrase program."""
+        if self._hits is None:
+            import jax
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            pws, offs = [], []
+            for s in self.shards:
+                hp = np.ascontiguousarray(s.hit_planes, np.uint32).reshape(
+                    -1, 128
+                )
+                pws.append(np.vstack([hp, np.zeros((1, 128), np.uint32)]))
+                o = s.hit_group_off.astype(np.int32)
+                offs.append(o if len(o) else np.zeros(1, np.int32))
+            R = max(p.shape[0] for p in pws)
+            G = max(len(o) for o in offs)
+            pw = np.stack([np.pad(p, ((0, R - p.shape[0]), (0, 0))) for p in pws])
+            # pad group offsets by repeating the last value: padded groups
+            # decode as zero-width fields (never match)
+            off = np.stack(
+                [np.pad(o, (0, G - len(o)), mode="edge") for o in offs]
+            )
+            sh = NamedSharding(self.mesh, P(self.axis))
+            self._hits = (
+                jax.device_put(jnp.asarray(pw), sh),
+                jax.device_put(jnp.asarray(off), sh),
+            )
+        return self._hits
 
     def _shard_executors(self):
         """Lazy per-shard Executors sharing the mesh's device arrays (no
@@ -248,83 +454,299 @@ class MeshExecutor:
         return sum(s.n_docs for s in self.shards)
 
     # --------------------------------------------------------------- search
-    def search(self, query, k: int = 10, scorer: str = "bm25"):
-        import jax.numpy as jnp
-
-        from trinity_tpu.exec.executor import SearchResult
+    def _cell_tables(self, plan, t_pad):
         from trinity_tpu.ops.postings import compute_cells
 
-        if isinstance(query, str):
-            query = parse_query(query)
-        root = query.root if isinstance(query, Query) else query
-        if root is None:
-            return []
-        plan = compile_plan(root)
-        if plan.has_phrase:
-            # phrase queries execute per shard (each shard already holds its
-            # device arrays; results merge deterministically because shards
-            # are docid-ordered ranges) — the exec_query-per-source model
-            stats_docs = self.docs_cnt
-            results = []
-            for src in self._shard_executors():
-                results.extend(
-                    src.search(
-                        query,
-                        k=k,
-                        scorer=scorer,
-                        stats=_StatsProxy(stats_docs),
-                        df_of=self.doc_freq,
-                    )
-                )
-            results.sort(key=lambda r: (-r.score, r.doc_id))
-            return results[:k]
-        from trinity_tpu.exec.executor import _pad_T
-
-        t_pad = _pad_T(plan.n_slots)
-        model = SIMILARITIES[scorer]
-        weights = np.array(
-            [
-                model.weight([self.doc_freq(t) for t in terms], self.docs_cnt)
-                for terms in plan.weight_terms
-            ],
-            np.float32,
-        )
         cs_list, cn_list = [], []
         for s in self.shards:
             tids = [s.term_id(t) for t in plan.term_texts]
             cs, cn = compute_cells(s, tids)
             pad_t = t_pad - cs.shape[1]
-            cs_list.append(
-                np.pad(cs, ((0, self.W - cs.shape[0]), (0, pad_t)))
-            )
-            cn_list.append(
-                np.pad(cn, ((0, self.W - cn.shape[0]), (0, pad_t)))
+            cs_list.append(np.pad(cs, ((0, self.W - cs.shape[0]), (0, pad_t))))
+            cn_list.append(np.pad(cn, ((0, self.W - cn.shape[0]), (0, pad_t))))
+        return np.stack(cs_list), np.stack(cn_list)
+
+    def _weights(self, plan, scorer, stats=None, df_of=None):
+        """Per-slot weights; stats/df_of allow collection-level aggregation
+        (similarity.h:209-249) exactly like Executor._prepare."""
+        model = SIMILARITIES[scorer]
+        docs_cnt = stats.docs_cnt if stats else self.docs_cnt
+        df = df_of if df_of is not None else self.doc_freq
+        return np.array(
+            [
+                model.weight([df(t) for t in terms], docs_cnt)
+                for terms in plan.weight_terms
+            ],
+            np.float32,
+        )
+
+    def launch(self, query, k: int = 10, scorer: str = "bm25",
+               stats=None, df_of=None):
+        """Issue the sharded device program without waiting (multi-source
+        pipelining across mesh collections). Returns a pending handle for
+        finish()."""
+        import jax.numpy as jnp
+
+        from trinity_tpu.exec.executor import _pad_T
+
+        if isinstance(query, str):
+            query = parse_query(query)
+        root = query.root if isinstance(query, Query) else query
+        if root is None:
+            return None
+        plan = compile_plan(root)
+        t_pad = _pad_T(plan.n_slots)
+        weights = self._weights(plan, scorer, stats, df_of)
+        cs, cn = self._cell_tables(plan, t_pad)
+        if plan.has_phrase:
+            return self._launch_phrase(
+                root, plan, cs, cn, weights, k, scorer, stats, df_of
             )
         run = _build_sharded_fn(
-            plan.tape,
-            scorer,
-            len(self.shards),
-            self.W,
-            t_pad,
-            k,
-            self.interpret,
-            self.axis,
-            self.mesh,
+            plan.tape, scorer, len(self.shards), self.W, t_pad, k,
+            self.interpret, self.axis, self.mesh,
+            self._deleted is not None,
         )
-        gv, gi = run(
-            self.bmeta,
-            self.planes,
-            jnp.asarray(np.stack(cs_list)),
-            jnp.asarray(np.stack(cn_list)),
-            jnp.asarray(weights),
-            self.n_docs,
-            self.base,
+        out = run(
+            self.bmeta, self.planes, jnp.asarray(cs), jnp.asarray(cn),
+            jnp.asarray(weights), self.n_docs, self.base, self._deleted,
         )
-        gv = np.asarray(gv)
-        gi = np.asarray(gi)
-        out = []
-        for v, i in zip(gv, gi):
-            if v == NEG_INF:
+        return ("bool", out)
+
+    def _launch_phrase(self, root, plan, cs, cn, weights, k, scorer,
+                       stats=None, df_of=None):
+        """Sharded phrase execution INSIDE one shard_map program (no host
+        loop over shards). Falls back to the pipelined per-shard executor
+        path only when a member term's max freq exceeds the device
+        verifier's cap ladder."""
+        import jax.numpy as jnp
+
+        from trinity_tpu.exec.executor import (
+            _pad_T,
+            _phrase_c_bound,
+            _phrase_c_bucket,
+        )
+        from trinity_tpu.exec.phrases import collect_phrases, fcap_bucket
+
+        phrases = collect_phrases(plan.tape)
+        phrase_slots = tuple(slots for slots, _ in phrases)
+        # fcaps from the max member freq across ALL shards (uniform program)
+        fcaps = []
+        device_ok = any(len(s.hit_group_off) >= 2 for s in self.shards)
+        for slots in phrase_slots:
+            mem = []
+            for s in slots:
+                text = plan.term_texts[s]
+                mf = 1
+                for shard in self.shards:
+                    tid = shard.term_id(text)
+                    if tid >= 0 and shard.term_nblocks[tid]:
+                        b0 = int(shard.term_block_start[tid])
+                        nb = int(shard.term_nblocks[tid])
+                        mf = max(
+                            mf, int(shard.block_max_freq[b0 : b0 + nb].max())
+                        )
+                b = fcap_bucket(mf)
+                if b is None:
+                    device_ok = False
+                    break
+                mem.append(b)
+            if not device_ok:
                 break
-            out.append(SearchResult(int(self.doc_map[i]), float(v)))
-        return out
+            fcaps.append(tuple(mem))
+        if not device_ok:
+            return ("phrase_host", (root, k, scorer, stats, df_of))
+        if plan.tape[0] == "phrase":
+            # candidate capacity from the rarest member's df per shard
+            bound = 0
+            for shard in self.shards:
+                dfs = []
+                for s in plan.tape[1]:
+                    tid = shard.term_id(plan.term_texts[s])
+                    dfs.append(int(shard.term_df[tid]) if tid >= 0 else 0)
+                bound = max(bound, min(dfs))
+            C = WINDOW_SIZE
+            for c2b in (256, 512, 1024, 2048, 4096, 8192):
+                if bound <= c2b and k <= c2b:
+                    C = c2b
+                    break
+        else:
+            bound = max(
+                _phrase_c_bound(cn[si], phrase_slots)
+                for si in range(len(self.shards))
+            )
+            C = _phrase_c_bucket(bound)
+        t_pad = _pad_T(plan.n_slots)
+        hit_pw, hit_off = self._stacked_hits()
+        run = _build_sharded_phrase_fn(
+            plan.tape, scorer, len(self.shards), self.W, t_pad, C,
+            phrase_slots, tuple(fcaps), k, self.interpret, self.axis,
+            self.mesh, self._deleted is not None,
+        )
+        out = run(
+            self.bmeta, self.planes, jnp.asarray(cs), jnp.asarray(cn),
+            hit_pw, hit_off, jnp.asarray(weights), self.n_docs, self.base,
+            self._deleted,
+        )
+        return ("phrase", out, (root, k, scorer, stats, df_of))
+
+    def finish(self, pending, k: int = 10):
+        """Resolve a launch() handle into merged results."""
+        import jax
+
+        from trinity_tpu.exec.executor import SearchResult
+
+        if pending is None:
+            return []
+        kind = pending[0]
+        if kind == "bool":
+            gv, gi = jax.device_get(pending[1])
+            out = []
+            for v, i in zip(gv, gi):
+                if v == NEG_INF:
+                    break
+                out.append(SearchResult(int(self.doc_map[i]), float(v)))
+            return out
+        if kind == "phrase_host":
+            root, k, scorer, stats, df_of = pending[1]
+            return self._phrase_host_fallback(root, k, scorer, stats, df_of)
+        # sharded phrase: merge per-shard rows, densify unresolved shards
+        sv, si, res = (np.asarray(x) for x in jax.device_get(pending[1]))
+        root, k, scorer, stats, df_of = pending[2]
+        rows_v, rows_i = [], []
+        for sh in range(len(self.shards)):
+            if res[sh]:
+                keep = sv[sh] > NEG_INF
+                rows_v.append(sv[sh][keep])
+                rows_i.append(si[sh][keep].astype(np.int64))
+            else:  # rare: candidate overflow — dense per-shard fallback
+                src = self._shard_executors()[sh]
+                masked = None
+                if self._deleted_np is not None:
+                    masked = np.flatnonzero(self._deleted_np[sh])
+                src.set_masked_local_docs(masked)
+                r = src.search(
+                    root, k=k, scorer=scorer,
+                    stats=stats or _StatsProxy(self.docs_cnt),
+                    df_of=df_of if df_of is not None else self.doc_freq,
+                )
+                rows_v.append(np.array([x.score for x in r], np.float32))
+                base = int(self._base_np[sh])
+                # translate app ids back to global local ids via the shard map
+                app2loc = {int(a): i for i, a in enumerate(
+                    self.shards[sh].doc_map)}
+                rows_i.append(np.array(
+                    [base + app2loc[x.doc_id] for x in r], np.int64))
+        av = np.concatenate(rows_v) if rows_v else np.zeros(0, np.float32)
+        ai = np.concatenate(rows_i) if rows_i else np.zeros(0, np.int64)
+        order = np.lexsort((ai, -av))[:k]
+        return [
+            SearchResult(int(self.doc_map[i]), float(v))
+            for v, i in zip(av[order], ai[order])
+        ]
+
+    def _phrase_host_fallback(self, root, k, scorer, stats=None,
+                              df_of=None):
+        """Pipelined per-shard execution (launch all, then finish all) for
+        phrase shapes the device verifier can't cover."""
+        from trinity_tpu.exec.executor import SearchResult  # noqa: F401
+
+        stats = stats or _StatsProxy(self.docs_cnt)
+        df_of = df_of if df_of is not None else self.doc_freq
+        execs = self._shard_executors()
+        for sh, src in enumerate(execs):
+            masked = None
+            if self._deleted_np is not None:
+                masked = np.flatnonzero(self._deleted_np[sh])
+            src.set_masked_local_docs(masked)
+        results = []
+        for src in execs:
+            results.extend(
+                src.search(root, k=k, scorer=scorer, stats=stats,
+                           df_of=df_of)
+            )
+        results.sort(key=lambda r: (-r.score, r.doc_id))
+        return results[:k]
+
+    def search(self, query, k: int = 10, scorer: str = "bm25"):
+        return self.finish(self.launch(query, k=k, scorer=scorer), k=k)
+
+
+class MeshSourcesCollection:
+    """Generation-ordered index sources, EACH sharded over the device mesh —
+    BASELINE config #5 (multi-segment with merge + deletion masks, sharded).
+
+    The mesh analog of IndexSourcesCollection (index_source.h:191-238):
+    source i's documents are shadowed by the updated/erased app ids of all
+    newer sources; the masked registries are installed as SHARDED device
+    inputs on each source's MeshExecutor (set_masked_local_docs), so masked
+    docs are excluded by the sharded programs themselves. Searches launch
+    every source's shard_map program before gathering any result (the
+    pipelined analog of exec_query_par's std::async fan-out, exec.h:86-177).
+    """
+
+    def __init__(self, mesh=None, n_shards: Optional[int] = None,
+                 interpret: Optional[bool] = None, axis: str = "shards"):
+        self._mesh = mesh
+        self._n_shards = n_shards
+        self._interpret = interpret
+        self._axis = axis
+        self.sources: List[tuple] = []  # (generation, MeshExecutor, seg)
+        self._committed = False
+
+    def add_segment(self, seg: SegmentData, generation: Optional[int] = None):
+        from trinity_tpu.index.source import now_generation
+
+        gen = generation if generation is not None else now_generation()
+        mex = MeshExecutor(
+            seg, mesh=self._mesh, n_shards=self._n_shards,
+            interpret=self._interpret, axis=self._axis,
+        )
+        if self._mesh is None:
+            self._mesh = mex.mesh  # share one mesh across sources
+        self.sources.append((gen, mex, seg))
+        self._committed = False
+        return self
+
+    def commit(self) -> "MeshSourcesCollection":
+        """Newest-first masking, installed sharded (index_source.cpp:3-30)."""
+        self.sources.sort(key=lambda t: -t[0])
+        acc = np.zeros(0, np.uint32)
+        for gen, mex, seg in self.sources:  # newest -> oldest
+            if len(acc):
+                # app ids -> collection-local docids of this source's shards
+                idx = np.searchsorted(acc, mex.doc_map)
+                idx = np.minimum(idx, len(acc) - 1)
+                hit = acc[idx] == mex.doc_map
+                mex.set_masked_local_docs(np.flatnonzero(hit))
+            else:
+                mex.set_masked_local_docs(None)
+            if len(seg.updated_ids):
+                acc = np.union1d(acc, seg.updated_ids)
+        self._committed = True
+        return self
+
+    # ------------------------------------------------------------- stats
+    def doc_freq(self, term: str) -> int:
+        return sum(mex.doc_freq(term) for _, mex, _ in self.sources)
+
+    @property
+    def docs_cnt(self) -> int:
+        return sum(mex.docs_cnt for _, mex, _ in self.sources)
+
+    # ------------------------------------------------------------ search
+    def search(self, query, k: int = 10, scorer: str = "bm25"):
+        if not self._committed:
+            self.commit()
+        # launch all sources' sharded programs, then gather (pipelined)
+        stats = _StatsProxy(self.docs_cnt)
+        pendings = [
+            (mex, mex.launch(query, k=k, scorer=scorer, stats=stats,
+                             df_of=self.doc_freq))
+            for _, mex, _ in self.sources
+        ]
+        results = []
+        for mex, p in pendings:
+            results.extend(mex.finish(p, k=k))
+        results.sort(key=lambda r: (-r.score, r.doc_id))
+        return results[:k]
