@@ -99,6 +99,55 @@ int64_t trin_build_blocks(
   return plane_off;
 }
 
+// Decode ALL blocks back to flat (docids, freqs) arrays — the whole-segment
+// inverse of trin_build_blocks, used by merge/compaction (the reference's
+// codec-native merge reads participants through block cursors,
+// lucene_codec.cpp:963-1393; here one linear pass decodes everything).
+// out_docs/out_freqs are caller-allocated with sum(block_count) entries.
+// Returns postings written, or -1 on error.
+int64_t trin_decode_blocks(int64_t n_blocks, const uint32_t* planes,
+                           const uint32_t* block_plane_off,
+                           const uint8_t* bits_doc, const uint8_t* bits_freq,
+                           const uint32_t* block_first,
+                           const int32_t* block_count, uint32_t* out_docs,
+                           uint32_t* out_freqs) {
+  int64_t o = 0;
+  uint32_t deltas[kBlock];
+  uint32_t f1[kBlock];
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int count = block_count[b];
+    if (count < 1 || count > kBlock) return -1;
+    const int bd = bits_doc[b], bf = bits_freq[b];
+    const int64_t p0 = block_plane_off[b];
+    std::memset(deltas, 0, sizeof(uint32_t) * count);
+    std::memset(f1, 0, sizeof(uint32_t) * count);
+    for (int j = 0; j < bd; ++j) {
+      const int64_t p = p0 + j;
+      const uint32_t* row = planes + (p / kPlanesPerWord) * kBlock;
+      const uint32_t bit = 1u << (p % kPlanesPerWord);
+      for (int i = 0; i < count; ++i) {
+        deltas[i] |= (uint32_t)((row[i] & bit) != 0) << j;
+      }
+    }
+    for (int j = 0; j < bf; ++j) {
+      const int64_t p = p0 + bd + j;
+      const uint32_t* row = planes + (p / kPlanesPerWord) * kBlock;
+      const uint32_t bit = 1u << (p % kPlanesPerWord);
+      for (int i = 0; i < count; ++i) {
+        f1[i] |= (uint32_t)((row[i] & bit) != 0) << j;
+      }
+    }
+    uint32_t d = block_first[b];
+    for (int i = 0; i < count; ++i) {
+      d += deltas[i];  // deltas[0] is 0 by construction
+      out_docs[o] = d;
+      out_freqs[o] = f1[i] + 1;
+      ++o;
+    }
+  }
+  return o;
+}
+
 // ---------------------------------------------------------------- terms
 // Prefix-compressed terms dictionary (terms.cpp:126-172 analog).
 // Terms are provided as a concatenated byte blob + offsets, sorted.

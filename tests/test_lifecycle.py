@@ -177,3 +177,114 @@ def test_merge_multiblock_roundtrip():
         ]
         np.testing.assert_array_equal(d, [e[0] for e in expect])
         np.testing.assert_array_equal(f, [e[1] for e in expect])
+
+
+def test_merge_preserves_payloads():
+    """Payloads survive merge end-to-end (the reference re-encodes payloads
+    with every hit, merge.cpp:222-231/353-359): build two payload segments,
+    merge, read payloads back through rich match."""
+    from trinity_tpu.exec import Executor
+    from trinity_tpu.exec.richmatch import exec_rich
+
+    s1 = SegmentIndexSession(track_payloads=True)
+    p = s1.begin(1)
+    p.insert("x", 1, payload=11)
+    p.insert("y", 2, payload=12)
+    s1.insert(p)
+    seg1 = s1.commit()
+
+    s2 = SegmentIndexSession(track_payloads=True)
+    p = s2.begin(2)
+    p.insert("x", 1, payload=21)
+    s2.insert(p)
+    seg2 = s2.commit()
+
+    mc = MergeCandidatesCollection()
+    mc.insert(seg1, generation=1)
+    mc.insert(seg2, generation=2)
+    merged = mc.merge(keep_updated_ids=False)
+    assert merged.payloads is not None
+
+    got = {}
+
+    def on_match(md):
+        got[md.doc_id] = {
+            mt.term: [h.payload for h in mt.hits] for mt in md.matched_terms
+        }
+
+    exec_rich(Executor(merged), "x", on_match)
+    assert got[1]["x"] == [11]
+    assert got[2]["x"] == [21]
+
+
+def test_merge_single_source_fast_path():
+    """One candidate, nothing masked -> structural raw copy (the
+    append_index_chunk analog, merge.cpp:166-180): arrays are shared, not
+    re-encoded."""
+    sess = SegmentIndexSession()
+    for d in range(200):
+        p = sess.begin(d)
+        p.insert("a", 1)
+        if d % 2:
+            p.insert("b", 2)
+        sess.insert(p)
+    seg = sess.commit()
+    mc = MergeCandidatesCollection()
+    mc.insert(seg, generation=5)
+    merged = mc.merge()
+    assert merged.planes is seg.planes  # shared, no re-encode
+    np.testing.assert_array_equal(merged.doc_map, seg.doc_map)
+
+
+def test_decode_all_postings_parity():
+    """Whole-segment decode (native + fallback) matches per-term decode."""
+    from trinity_tpu.index.format import decode_all_postings, term_postings
+    from trinity_tpu.config import configure
+
+    rng = np.random.default_rng(9)
+    sess = SegmentIndexSession()
+    for d in range(700):
+        p = sess.begin(d)
+        for pos, t in enumerate(
+            [f"t{int(x)}" for x in rng.integers(0, 20, rng.integers(2, 7))], 1
+        ):
+            p.insert(t, pos)
+        sess.insert(p)
+    seg = sess.commit()
+    for use_native in (True, False):
+        configure(use_native=use_native)
+        try:
+            tids, docs, freqs = decode_all_postings(seg)
+        finally:
+            configure(use_native=True)
+        o = 0
+        for tid in range(seg.n_terms):
+            d_ref, f_ref = term_postings(seg, tid)
+            n = len(d_ref)
+            np.testing.assert_array_equal(docs[o : o + n], d_ref)
+            np.testing.assert_array_equal(freqs[o : o + n], f_ref)
+            np.testing.assert_array_equal(tids[o : o + n], tid)
+            o += n
+        assert o == len(docs)
+
+
+def test_bulk_index_payloads():
+    """bulk_index carries per-hit payloads (VERDICT: bulk_index hard-zeroed
+    them)."""
+    sess = SegmentIndexSession(track_payloads=True)
+    sess.bulk_index(
+        [1, 2],
+        [["a", "b"], ["a"]],
+        payloads=[[7, 8], [9]],
+    )
+    seg = sess.commit()
+    from trinity_tpu.exec import Executor
+    from trinity_tpu.exec.richmatch import exec_rich
+
+    got = {}
+
+    def on_match(md):
+        got[md.doc_id] = [h.payload for h in md.term("a").hits]
+
+    exec_rich(Executor(seg), "a", on_match)
+    assert got == {1: [7], 2: [9]}

@@ -107,3 +107,97 @@ def test_payload_materialization():
     alpha = got[0].term("alpha")
     assert [(h.pos, h.payload) for h in alpha.hits] == [(1, 0xBEEF), (3, 0xCAFE)]
     assert got[0].term("beta").hits[0].payload == 42
+
+
+def test_proximity_metadata_scoring():
+    """Score by term adjacency using ONLY callback data (the reference's
+    headline rich-match use case, exec.cpp:694-873 + matches.h:17-32):
+    query_index_terms gives each term's query index and toNextSpan; the
+    callback boosts documents whose matched terms appear in query order at
+    adjacent positions."""
+    sess = SegmentIndexSession()
+    docs = {
+        1: ["alpha", "beta", "filler"],        # adjacent, in order
+        2: ["alpha", "filler", "beta"],        # both, not adjacent
+        3: ["beta", "alpha", "x"],             # both, wrong order
+        4: ["alpha", "x", "y"],                # alpha only -> no match
+    }
+    for d, toks in docs.items():
+        p = sess.begin(d)
+        for pos, t in enumerate(toks, 1):
+            p.insert(t, pos)
+        sess.insert(p)
+    seg = sess.commit()
+    ex2 = Executor(seg)
+
+    prepared = {}
+    scores = {}
+
+    def on_prepare(qit):
+        prepared.update(qit)
+
+    def on_match(md):
+        # reconstruct (index -> term) from the shared metadata, then walk
+        # matched positions testing in-order adjacency through dws
+        by_index = sorted(md.query_index_terms.items())
+        base_terms = [cands[0].term for _, cands in by_index]
+        s = 1.0
+        first = md.term(base_terms[0])
+        if first:
+            for p0 in (h.pos for h in first.hits):
+                # spans: index i expects term at p0 + offset built from
+                # toNextSpan chain
+                pos = p0
+                chain = 0
+                for (idx, cands), nxt in zip(by_index, by_index[1:]):
+                    span = cands[0].to_next_span
+                    if md.dws.test(nxt[1][0].term, pos + span):
+                        chain += 1
+                        pos += span
+                    else:
+                        break
+                s = max(s, 1.0 + chain)
+        scores[md.doc_id] = s
+
+    n = exec_rich(ex2, "alpha beta", on_match, on_prepare=on_prepare)
+    assert n == 3
+    assert prepared, "on_prepare must receive query_index_terms"
+    # alpha has index 0 with to_next_span to beta's group; beta at index > 0
+    idxs = sorted(prepared)
+    assert len(idxs) == 2
+    assert prepared[idxs[0]][0].term == "alpha"
+    assert prepared[idxs[1]][0].term == "beta"
+    # only doc 1 has the in-order adjacent pair -> strictly highest score
+    assert scores[1] > scores[2]
+    assert scores[1] > scores[3]
+
+
+def test_query_index_terms_disregard_flags():
+    """DisregardTokenFlagsForQueryIndicesTerms (exec.h:36-42): dedup by
+    (term, toNextSpan), flags zeroed."""
+    from trinity_tpu.exec.richmatch import collect_query_index_terms
+    from trinity_tpu.query.ast import Token, BinOp, Op
+
+    a1 = Token("x")
+    a1.flags = 1
+    a2 = Token("x")
+    a2.flags = 2
+    root = BinOp(Op.OR, a1, a2)  # same index (OR branches share start)
+    a1.index = a2.index = 0
+    _, qit = collect_query_index_terms(root, disregard_token_flags=False)
+    assert len(qit[0]) == 2  # distinct flags kept
+    _, qit2 = collect_query_index_terms(root, disregard_token_flags=True)
+    assert len(qit2[0]) == 1 and qit2[0][0].flags == 0
+
+
+def test_phrase_member_indices():
+    """Phrase members land at index+i with toNextSpan 1 except the last
+    (exec.cpp:649-655)."""
+    from trinity_tpu.exec.richmatch import collect_query_index_terms
+
+    q = parse_query('"a b" c')
+    _, qit = collect_query_index_terms(q.root)
+    flat = {idx: [t.term for t in v] for idx, v in qit.items()}
+    assert flat[0] == ["a"] and flat[1] == ["b"]
+    assert qit[0][0].to_next_span == 1  # inner member
+    assert max(flat) > 1 and "c" in flat[max(flat)]

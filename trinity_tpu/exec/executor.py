@@ -77,7 +77,10 @@ def _pad_T(t: int) -> int:
 
 
 class ExecFlags(enum.IntFlag):
-    """exec.h:11-43."""
+    """exec.h:11-43. DOCUMENTS_ONLY = match_ids(); ACCUMULATED_SCORE_SCHEME
+    = search(); DISREGARD_TOKEN_FLAGS switches the rich-match
+    query_index_terms dedup key (exec_rich(disregard_token_flags=True),
+    exec/richmatch.py:collect_query_index_terms)."""
 
     NONE = 0
     DOCUMENTS_ONLY = 1
@@ -160,6 +163,44 @@ def _eval_tape(tape, freq, weights, scorer_cls, jnp, phrase_tiles=None, _pc=None
         z = jnp.zeros_like(freq[..., 0, :])
         return z > 1, z
     raise ValueError(kind)
+
+
+# fused-path bound: tapes reading more slots fall back to the two-stage
+# path (VMEM holds one decoded tile per used slot)
+FUSED_MAX_SLOTS = 8
+
+
+def _fused_used_slots(tape):
+    """Used slots if the tape is fused-kernel eligible, else None."""
+    from trinity_tpu.ops.fusedscore import tape_used_slots
+
+    try:
+        used = tape_used_slots(tape)
+    except ValueError:  # phrase node
+        return None
+    if not (1 <= len(used) <= FUSED_MAX_SLOTS):
+        return None
+    return used
+
+
+@functools.lru_cache(maxsize=512)
+def _build_fused_fn(tape, scorer_name, W, T, B, k, interpret):
+    """ONE Pallas program per (tape, geometry): decode + tape eval + score
+    + window maxima fused (ops/fusedscore.py), then the two-phase exact
+    top-k. Replaces stage1+stage2 for boolean tapes: one HBM tile pass
+    instead of 2(T+1), and a 16-window top_k domain instead of W windows."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.fusedscore import exact_window_topk, fused_score_tiles
+
+    def run(bmeta, planes, cs, cn, weights, n_docs, deleted):
+        scores, rmax = fused_score_tiles(
+            bmeta, planes, cs, cn, weights, n_docs, deleted,
+            tape=tape, scorer_name=scorer_name, n_windows=W, n_terms=T,
+            batch=B, interpret=interpret,
+        )
+        return exact_window_topk(scores, rmax, k)
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=512)
@@ -697,6 +738,7 @@ class Executor:
         self._max_freq_cache: dict = {}
         self._deleted = None  # optional bool (W*WINDOW,) mask of masked docs
         self._deleted_np = None  # host copy for lazy phrase verification
+        self._deleted_tiles = None  # (W, 128, 128) f32 form (fused kernel)
 
     # ------------------------------------------------------------ plumbing
     def set_masked_local_docs(self, local_ids: Optional[np.ndarray]):
@@ -707,12 +749,43 @@ class Executor:
         if local_ids is None or len(local_ids) == 0:
             self._deleted = None
             self._deleted_np = None
+            self._deleted_tiles = None
             return
         W = self.seg.n_windows
         m = np.zeros(W * WINDOW_SIZE, bool)
         m[local_ids] = True
         self._deleted = jnp.asarray(m)
         self._deleted_np = m
+        # tile form for the fused score kernel (1.0 = masked)
+        from trinity_tpu.limits import TILE
+
+        self._deleted_tiles = jnp.asarray(
+            m.reshape(W, TILE, TILE).astype(np.float32)
+        )
+
+    def _launch_bool(self, plan, cs, cn, weights, k, scorer):
+        """Issue the boolean-tape device program; returns ((k,), (k,))
+        pending device arrays. Prefers the fused score kernel."""
+        seg = self.seg
+        used = _fused_used_slots(plan.tape)
+        if used is not None:
+            fn = _build_fused_fn(
+                plan.tape, scorer, seg.n_windows, _pad_T(plan.n_slots), 1, k,
+                self.interpret,
+            )
+            gv, gi = fn(
+                self.bmeta, self.planes, cs, cn, weights[None, :],
+                np.int32(seg.n_docs), self._deleted_tiles,
+            )
+            return gv[0], gi[0]
+        fn = _build_search_fn(
+            plan.tape, scorer, seg.n_windows, _pad_T(plan.n_slots), k,
+            self.interpret, "search",
+        )
+        return fn(
+            self.bmeta, self.planes, cs, cn, weights,
+            np.int32(seg.n_docs), self._deleted,
+        )
 
     def _prepare(self, query, scorer, stats=None, df_of=None):
         """Resolve terms, compute cells and weights. stats/df_of allow
@@ -784,14 +857,7 @@ class Executor:
             return self._phrase_search_dispatch(
                 plan, cs, cn, weights, scorer, k, stats, df_of
             )
-        fn = _build_search_fn(
-            plan.tape, scorer, seg.n_windows, _pad_T(plan.n_slots), k,
-            self.interpret, "search",
-        )
-        return fn(
-            self.bmeta, self.planes, cs, cn, weights,
-            np.int32(seg.n_docs), self._deleted,
-        )
+        return self._launch_bool(plan, cs, cn, weights, k, scorer)
 
     def finish(self, pending) -> List[SearchResult]:
         """Resolve a launch() handle into results."""
@@ -829,25 +895,8 @@ class Executor:
                     plan, cs, cn, weights, scorer, k, stats, df_of
                 )
         else:
-            fn = _build_search_fn(
-                plan.tape,
-                scorer,
-                seg.n_windows,
-                _pad_T(plan.n_slots),
-                k,
-                self.interpret,
-                "search",
-            )
             with trace("exec.device"):
-                gv, gi = fn(
-                    self.bmeta,
-                    self.planes,
-                    cs,
-                    cn,
-                    weights,
-                    np.int32(seg.n_docs),
-                    self._deleted,
-                )
+                gv, gi = self._launch_bool(plan, cs, cn, weights, k, scorer)
         jax, _ = _lazy_jax()
         gv, gi = jax.device_get((gv, gi))  # one transfer for both
         out = []
@@ -883,14 +932,7 @@ class Executor:
                     plan, cs, cn, weights, scorer, k, stats, df_of
                 )
             else:
-                fn = _build_search_fn(
-                    plan.tape, scorer, seg.n_windows, _pad_T(plan.n_slots), k,
-                    self.interpret, "search",
-                )
-                gv, gi = fn(
-                    self.bmeta, self.planes, cs, cn, weights,
-                    np.int32(seg.n_docs), self._deleted,
-                )
+                gv, gi = self._launch_bool(plan, cs, cn, weights, k, scorer)
             pending.append((gv, gi))
         out: List[List[SearchResult]] = []
         for p in pending:
@@ -1084,18 +1126,29 @@ class Executor:
                     model.weight([df_of(t) for t in terms], docs_cnt)
                     for terms in plan.weight_terms
                 ]
-            fn = _build_batch_fn(
-                key, scorer, seg.n_windows, T, B, k, self.interpret
-            )
-            out = fn(
-                self.bmeta,
-                self.planes,
-                jnp.asarray(cs),
-                jnp.asarray(cn),
-                jnp.asarray(weights),
-                np.int32(seg.n_docs),
-                self._deleted,
-            )
+            used = _fused_used_slots(key)
+            if used is not None:
+                fn = _build_fused_fn(
+                    key, scorer, seg.n_windows, T, B, k, self.interpret
+                )
+                out = fn(
+                    self.bmeta, self.planes,
+                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights),
+                    np.int32(seg.n_docs), self._deleted_tiles,
+                )
+            else:
+                fn = _build_batch_fn(
+                    key, scorer, seg.n_windows, T, B, k, self.interpret
+                )
+                out = fn(
+                    self.bmeta,
+                    self.planes,
+                    jnp.asarray(cs),
+                    jnp.asarray(cn),
+                    jnp.asarray(weights),
+                    np.int32(seg.n_docs),
+                    self._deleted,
+                )
             pending.append((members, out))
         for key, members in phrase_groups.items():
             out = self._run_phrase_batch(

@@ -48,13 +48,142 @@ class MatchedTerm:
     hits: List[TermHit]
 
 
+@dataclass(frozen=True)
+class QueryIndexTerm:
+    """matches.h:17-24 query_index_term: one term that may match at a query
+    index, with the span distance to the next AND-sibling group — the
+    metadata applications use for sequence/proximity scoring."""
+
+    term: str
+    flags: int
+    to_next_span: int
+
+
+@dataclass(frozen=True)
+class TermInstance:
+    """query_term_ctx::instance_struct (matches.h:86-99): one occurrence of
+    a term in the original query, with rewrite provenance."""
+
+    index: int
+    rep: int
+    flags: int
+    to_next_span: int
+    app_phrase_id: int
+    rewrite_range: tuple  # (start, stop) token range of the rewrite source
+    translation_coefficient: float
+    src_seq_size: int
+
+
+@dataclass
+class QueryTermCtx:
+    """query_term_ctx (matches.h:76-108): all original-query instances of
+    one term, sorted by query index."""
+
+    term: str
+    instances: List[TermInstance]
+
+
+def collect_query_index_terms(root, disregard_token_flags: bool = False):
+    """Build the proximity-scoring context the reference hands to
+    MatchedIndexDocumentsFilter::prepare() (exec.cpp:585-657 instance
+    collection + exec.cpp:694-873 per-index dedup):
+
+    Returns (term_ctxs: Dict[term, QueryTermCtx],
+             query_index_terms: Dict[index, Tuple[QueryIndexTerm, ...]]).
+
+    Collection walks only positively-reachable nodes (NOT rhs and unary-NOT
+    subtrees are skipped); each phrase member i lands at index + i with
+    toNextSpan = 1 except the last member, which carries the phrase's span
+    distance (exec.cpp:649-655). disregard_token_flags switches the
+    per-index dedup key from (term, toNextSpan, flags) to
+    (term, toNextSpan) with flags zeroed
+    (ExecFlags::DisregardTokenFlagsForQueryIndicesTerms, exec.h:36-42)."""
+    from trinity_tpu.query.ast import (
+        BinOp,
+        ConstTrueExpr,
+        MatchSome,
+        Op,
+        Phrase,
+        UnaryOp,
+    )
+
+    instances: List[tuple] = []  # (term, TermInstance)
+    stack = [root] if root is not None else []
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Phrase):
+            rep = n.rep if n.size == 1 else 1
+            for i, t in enumerate(n.terms):
+                instances.append(
+                    (
+                        t.text,
+                        TermInstance(
+                            index=n.index + i,
+                            rep=rep,
+                            flags=n.flags,
+                            to_next_span=(
+                                n.to_next_span if i == n.size - 1 else 1
+                            ),
+                            app_phrase_id=n.app_phrase_id,
+                            rewrite_range=n.rewrite_ctx.range,
+                            translation_coefficient=(
+                                n.rewrite_ctx.translation_coefficient
+                            ),
+                            src_seq_size=n.rewrite_ctx.src_seq_size,
+                        ),
+                    )
+                )
+        elif isinstance(n, MatchSome):
+            stack.extend(n.nodes)
+        elif isinstance(n, UnaryOp):
+            if n.op is not Op.NOT:
+                stack.append(n.expr)
+        elif isinstance(n, ConstTrueExpr):
+            stack.append(n.expr)
+        elif isinstance(n, BinOp):
+            stack.append(n.lhs)
+            if n.op in (Op.AND, Op.STRICT_AND, Op.OR):
+                stack.append(n.rhs)
+
+    term_ctxs: Dict[str, QueryTermCtx] = {}
+    for term, inst in sorted(
+        instances, key=lambda x: (x[0], x[1].index)
+    ):
+        term_ctxs.setdefault(term, QueryTermCtx(term, [])).instances.append(
+            inst
+        )
+
+    per_index: Dict[int, list] = {}
+    for term, inst in instances:
+        flags = 0 if disregard_token_flags else inst.flags
+        per_index.setdefault(inst.index, []).append(
+            QueryIndexTerm(term, flags, inst.to_next_span)
+        )
+    query_index_terms = {
+        idx: tuple(
+            sorted(
+                set(lst),
+                key=lambda q: (q.term, q.to_next_span, q.flags),
+            )
+        )
+        for idx, lst in per_index.items()
+    }
+    return term_ctxs, query_index_terms
+
+
 @dataclass
 class MatchedDocument:
-    """matches.h:117-130 matched_document."""
+    """matches.h:117-130 matched_document. query_index_terms /term_ctxs are
+    the shared per-query proximity context (matches.h:27-32) — per query
+    index, the unique (term, flags, toNextSpan) triples that may match
+    there — so applications can implement the reference's
+    sequence/proximity scoring from callback data alone."""
 
     doc_id: int
     matched_terms: List[MatchedTerm]
     dws: "DocWordsSpace"
+    query_index_terms: Dict[int, tuple] = field(default_factory=dict)
+    term_ctxs: Dict[str, QueryTermCtx] = field(default_factory=dict)
 
     def term(self, text: str) -> Optional[MatchedTerm]:
         for mt in self.matched_terms:
@@ -163,10 +292,19 @@ def exec_rich(
     query,
     on_match: Callable[[MatchedDocument], None],
     candidate_cap: Optional[int] = None,
+    disregard_token_flags: bool = False,
+    on_prepare: Optional[Callable[[dict], None]] = None,
 ) -> int:
     """Default-mode execution: invokes on_match(MatchedDocument) for every
     matching document in ascending doc order (exec.cpp default mode).
-    Returns the number of matches delivered."""
+    Returns the number of matches delivered.
+
+    The per-query proximity context (query_index_terms) is built once and
+    surfaced both through on_prepare (the MatchedIndexDocumentsFilter::
+    prepare() analog, matches.h:139-147) and on every MatchedDocument.
+    disregard_token_flags = ExecFlags::DisregardTokenFlagsForQueryIndicesTerms
+    (exec.h:36-42): dedup per-index terms by (term, toNextSpan) and zero the
+    flags."""
     import jax.numpy as jnp
 
     from trinity_tpu.oracle import Scorer, _eval
@@ -180,6 +318,9 @@ def exec_rich(
     root = query.root if isinstance(query, Query) else query
     if root is None:
         return 0
+    term_ctxs, qit = collect_query_index_terms(root, disregard_token_flags)
+    if on_prepare is not None:
+        on_prepare(qit)
     seg = executor.seg
     plan = compile_plan(root)
     relaxed = _relax_tape(plan.tape)
@@ -261,7 +402,11 @@ def exec_rich(
                     MatchedTerm(term=text, freq=len(pos_list), hits=hits)
                 )
             md = MatchedDocument(
-                doc_id=int(seg.doc_map[local]), matched_terms=mts, dws=dws
+                doc_id=int(seg.doc_map[local]),
+                matched_terms=mts,
+                dws=dws,
+                query_index_terms=qit,
+                term_ctxs=term_ctxs,
             )
             try:
                 on_match(md)

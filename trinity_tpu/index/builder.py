@@ -87,12 +87,18 @@ class SegmentIndexSession:
             raise ValueError(f"document {proxy.doc_id} committed twice")
         self._docs[proxy.doc_id] = proxy.hits
 
-    def bulk_index(self, doc_ids, docs_tokens, first_pos: int = 1) -> None:
+    def bulk_index(
+        self, doc_ids, docs_tokens, first_pos: int = 1, payloads=None
+    ) -> None:
         """Vectorized batch ingestion: one np.unique interning pass over the
         whole batch instead of per-token dict lookups — the bulk analog of
         the reference's buffered commit pipeline (indexer.cpp:311-420).
         docs_tokens: sequence of token lists, positions assigned
-        first_pos..len (token-parser output order)."""
+        first_pos..len (token-parser output order). payloads: optional
+        per-doc sequences of u64 hit payloads aligned to the tokens
+        (term_hit.payload, runtime.h:8-20); requires track_payloads."""
+        if payloads is not None and not self.track_payloads:
+            raise ValueError("payloads require track_payloads=True")
         docs_tokens = list(docs_tokens)
         max_len = max((len(t) for t in docs_tokens), default=0)
         if max_len and first_pos + max_len - 1 >= MAX_POSITION:
@@ -109,7 +115,7 @@ class SegmentIndexSession:
         base = np.asarray([self._intern(t) for t in uniq.tolist()], np.int64)
         tids = base[inv]
         o = 0
-        for d, toks in zip(doc_ids, docs_tokens):
+        for di, (d, toks) in enumerate(zip(doc_ids, docs_tokens)):
             n = len(toks)
             d = int(d)
             if d in self._docs:
@@ -118,6 +124,9 @@ class SegmentIndexSession:
             self._docs[d] = (
                 tids[o : o + n],
                 np.arange(first_pos, first_pos + n, dtype=np.int64),
+                np.asarray(payloads[di], np.uint64)
+                if payloads is not None
+                else None,
             )
             o += n
 
@@ -145,7 +154,9 @@ class SegmentIndexSession:
                 doc_a[o : o + n] = ld
                 pos_a[o : o + n] = hits[1]
                 if pay_a is not None:
-                    pay_a[o : o + n] = 0
+                    pay_a[o : o + n] = (
+                        hits[2] if hits[2] is not None else 0
+                    )
                 o += n
                 continue
             for t, p, pl in hits:

@@ -228,6 +228,35 @@ def term_postings(seg: SegmentData, tid: int):
     )
 
 
+def decode_all_postings(seg: SegmentData):
+    """Whole-segment decode -> (term ids, local docids, freqs), flat arrays
+    in (term, doc) order — one linear pass over the plane matrix (native
+    trin_decode_blocks when built, block-loop fallback otherwise). The
+    positions stream seg.positions[:freqs.sum()] and the optional payloads
+    stream are PARALLEL to this order (the builder lexsorts hits by
+    (term, doc, pos)), so merge/compaction can filter hits with one
+    repeat-mask. The merge-side analog of the reference's codec-native
+    participant cursors (lucene_codec.cpp:963-1393)."""
+    from trinity_tpu.config import get_config
+    from trinity_tpu.utils import native
+
+    nd = native.decode_blocks(seg) if get_config().use_native else None
+    if nd is None:
+        n_blocks = len(seg.block_plane_off)
+        if n_blocks:
+            parts = [decode_block(seg, b) for b in range(n_blocks)]
+            docs = np.concatenate([p[0] for p in parts])
+            freqs = np.concatenate([p[1] for p in parts])
+        else:
+            docs = freqs = np.zeros(0, np.uint32)
+    else:
+        docs, freqs = nd
+    tids = np.repeat(
+        np.arange(seg.n_terms, dtype=np.int64), seg.term_df.astype(np.int64)
+    )
+    return tids, docs, freqs
+
+
 def term_positions(seg: SegmentData, tid: int, local_doc: int) -> np.ndarray:
     """Positions of a (term, doc) pair (materialize_hits analog,
     lucene_codec.cpp:767-856)."""

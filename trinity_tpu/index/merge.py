@@ -67,14 +67,45 @@ class MergeCandidatesCollection:
     def merge(self, keep_updated_ids: bool = True) -> SegmentData:
         """N-way merge -> one SegmentData (merge.cpp:40-416).
 
+        Fast path: a single candidate with nothing masked is returned
+        structurally unchanged (the whole-segment analog of the reference's
+        per-term append_index_chunk raw copy, merge.cpp:166-180 — with one
+        array layout there is nothing to re-encode).
+
+        Slow path is still one vectorized pass per source: whole-segment
+        native decode (format.decode_all_postings), repeat-mask filtering of
+        the parallel positions/payloads streams, renumbering into the merged
+        docid space, one lexsort, one native re-encode. No per-term or
+        per-block Python loops.
+
         keep_updated_ids: if older segments outside this merge set still
         exist, the merged segment must keep shadowing them; pass False when
         merging the full collection.
         """
+        from trinity_tpu.index.format import decode_all_postings
+
         self.commit()
-        all_tid: List[np.ndarray] = []
-        all_doc: List[np.ndarray] = []
-        all_pos: List[np.ndarray] = []
+
+        updated_all = np.unique(
+            np.concatenate(
+                [c.seg.updated_ids for c in self.candidates]
+                + [np.zeros(0, np.uint32)]
+            )
+        )
+        updated = (
+            updated_all if keep_updated_ids else np.zeros(0, np.uint32)
+        )
+
+        # ---- raw-copy fast path (merge.cpp:166-180 analog) ----
+        # a single candidate has no newer in-set candidates, so nothing is
+        # masked and nothing needs renumbering: share the arrays as-is
+        if len(self.candidates) == 1:
+            import copy as _copy
+
+            out = _copy.copy(self.candidates[0].seg)
+            out.updated_ids = updated.astype(np.uint32)
+            return out
+
         term_names: set = set()
         app_id_arrays = []
         seen_app: Optional[np.ndarray] = None
@@ -113,60 +144,53 @@ class MergeCandidatesCollection:
         merged_terms = sorted(term_names)
         term_rank = {t: i for i, t in enumerate(merged_terms)}
 
+        all_tid: List[np.ndarray] = []
+        all_doc: List[np.ndarray] = []
+        all_pos: List[np.ndarray] = []
+        all_pay: List[np.ndarray] = []
+        any_payloads = any(
+            c.seg.payloads is not None for c in self.candidates
+        )
         for cand, keep in zip(self.candidates, survivors):
             seg = cand.seg
             if not keep.any():
                 continue
-            # local -> merged-local docid translation
+            tids, docs, freqs = decode_all_postings(seg)
+            # per-hit expansion; positions (and payloads) are parallel to
+            # this exact order, so one repeat-mask filters all streams
+            hit_doc = np.repeat(docs.astype(np.int64), freqs)
+            hit_tid = np.repeat(tids, freqs)
+            hit_alive = keep[hit_doc]
+            total_hits = len(hit_doc)
+            pos = np.asarray(seg.positions[np.flatnonzero(hit_alive)])
             trans = np.searchsorted(new_app, seg.doc_map).astype(np.int64)
-            for tid in range(seg.n_terms):
-                s = int(seg.term_block_start[tid])
-                nb = int(seg.term_nblocks[tid])
-                if nb == 0:
-                    continue
-                docs_parts, freqs_parts, pos_parts = [], [], []
-                for b in range(s, s + nb):
-                    docs, freqs = decode_block(seg, b)
-                    h0 = int(seg.block_hits_off[b])
-                    pos = seg.positions[h0 : h0 + int(freqs.sum())]
-                    docs_parts.append(docs)
-                    freqs_parts.append(freqs)
-                    pos_parts.append(pos)
-                docs = np.concatenate(docs_parts)
-                freqs = np.concatenate(freqs_parts)
-                pos = np.concatenate(pos_parts)
-                alive = keep[docs]
-                if not alive.any():
-                    continue
-                # expand to per-hit rows, filter by surviving docs
-                hit_doc = np.repeat(docs, freqs)
-                hit_alive = keep[hit_doc]
-                hd = trans[hit_doc[hit_alive]]
-                hp = pos[hit_alive].astype(np.int64)
-                ht = np.full(len(hd), term_rank[seg.terms[tid]], np.int64)
-                all_tid.append(ht)
-                all_doc.append(hd)
-                all_pos.append(hp)
+            rank_of = np.array(
+                [term_rank[t] for t in seg.terms], np.int64
+            )
+            all_doc.append(trans[hit_doc[hit_alive]])
+            all_tid.append(rank_of[hit_tid[hit_alive]])
+            all_pos.append(pos.astype(np.int64))
+            if any_payloads:
+                if seg.payloads is not None:
+                    all_pay.append(seg.payloads[: total_hits][hit_alive])
+                else:
+                    all_pay.append(
+                        np.zeros(int(hit_alive.sum()), np.uint64)
+                    )
 
         if all_tid:
             tid_a = np.concatenate(all_tid)
             doc_a = np.concatenate(all_doc)
             pos_a = np.concatenate(all_pos)
+            pay_a = np.concatenate(all_pay) if any_payloads else None
             perm = np.lexsort((pos_a, doc_a, tid_a))
             tid_a, doc_a, pos_a = tid_a[perm], doc_a[perm], pos_a[perm]
+            if pay_a is not None:
+                pay_a = pay_a[perm]
         else:
             tid_a = doc_a = pos_a = np.zeros(0, np.int64)
+            pay_a = np.zeros(0, np.uint64) if any_payloads else None
 
-        updated = (
-            np.unique(
-                np.concatenate(
-                    [c.seg.updated_ids for c in self.candidates]
-                    + [np.zeros(0, np.uint32)]
-                )
-            )
-            if keep_updated_ids
-            else np.zeros(0, np.uint32)
-        )
         merged_term_list = [
             t if isinstance(t, bytes) else t.encode() for t in merged_terms
         ]
@@ -176,7 +200,7 @@ class MergeCandidatesCollection:
             tid_a,
             doc_a,
             pos_a,
-            None,
+            pay_a,
             updated.astype(np.uint32),
             len(new_app),
         )

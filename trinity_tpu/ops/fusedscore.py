@@ -1,0 +1,264 @@
+"""Fused score kernel: decode + tape eval + similarity + window maxima in
+ONE Pallas program.
+
+The round-1 engine materialized per-term frequency tiles to HBM (stage 1)
+and re-read them for tape evaluation (stage 2). Profiling on v5e showed the
+per-(window, term) grid and the two HBM passes dominate boolean queries:
+41 ms stage-1 + 42 ms stage-2 for a 48-query AND group, of which 30 ms was
+one flat top_k over (B, W*16384).
+
+This kernel inverts the layout: the grid is (window, query); each cell
+decodes the query's term cells into VMEM scratch tiles, evaluates the
+boolean tape and the similarity right there, and writes only
+  - the masked score tile (B, W, 128, 128) f32, and
+  - per-lane window maxima (B, W, 128) f32 (reduced over sublanes — the
+    cheap reduction orientation; the caller maxes over lanes to get the
+    per-window max).
+HBM tile traffic drops from (T+1) writes + (T+1) reads per (w, b) to ONE
+write, and the caller replaces the flat 1M-element top_k with a two-phase
+EXACT selection (ops/fusedscore.py:exact_window_topk):
+
+  top_k(window maxima) -> gather the top-kappa windows -> small flat top_k.
+
+Exactness incl. the docid-asc tie-break: selecting kappa >= k windows by
+(max desc, window asc) — lax.top_k's lowest-index tie rule — covers every
+possible top-k doc: any window holding a top-k doc has max >= the k-th
+score, at most k-1 windows have max strictly above it, and among equal-max
+windows the lowest-index (= lowest-docid-range) ones win ties. Gathered
+windows are re-sorted ascending so the flat index order stays docid order.
+
+The reference analog of all of this is the windowed bulk driver + heap
+top-k of docset_spans.cpp:98-173/681-789 — here the window IS the tile and
+the heap IS lax.top_k over window maxima.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trinity_tpu.limits import TILE, WINDOW_SIZE
+from trinity_tpu.models.similarity import SIMILARITIES
+from trinity_tpu.ops.postings import (
+    GROUP,
+    GROUP_INTERPRET,
+    MAXROWS,
+    META_PER_ROW,
+    META_COLS,
+    META_ROWS,
+    _decode_cell,
+)
+
+NEG_INF = float("-inf")
+
+
+def tape_used_slots(tape) -> tuple:
+    """Term slots a boolean tape actually reads (padding slots skipped)."""
+    out = set()
+
+    def walk(n):
+        kind = n[0]
+        if kind == "tok":
+            out.add(n[1])
+        elif kind in ("and", "or", "not"):
+            walk(n[1])
+            walk(n[2])
+        elif kind in ("unot", "opt"):
+            walk(n[1])
+        elif kind == "some":
+            for c in n[2]:
+                walk(c)
+        elif kind == "phrase":
+            raise ValueError("phrase tapes use the phrase path")
+
+    walk(tape)
+    return tuple(sorted(out))
+
+
+def eval_tape_tiles(tape, tiles, wsel, scorer_cls):
+    """Tile-domain twin of executor._eval_tape: identical op order (oracle
+    parity), freq access replaced by the decoded VMEM tiles dict."""
+    kind = tape[0]
+    if kind == "tok":
+        _, slot, widx = tape
+        f = tiles[slot]
+        mask = f > 0
+        score = scorer_cls.score_tile(f, wsel(widx))
+        return mask, jnp.where(mask, score, 0.0)
+    if kind in ("and", "or", "not"):
+        _, lt, rt = tape
+        lm, ls = eval_tape_tiles(lt, tiles, wsel, scorer_cls)
+        rm, rs = eval_tape_tiles(rt, tiles, wsel, scorer_cls)
+        if kind == "and":
+            m = lm & rm
+            return m, jnp.where(m, ls + rs, 0.0)
+        if kind == "or":
+            m = lm | rm
+            return m, jnp.where(m, ls + rs, 0.0)
+        m = lm & ~rm
+        return m, jnp.where(m, ls, 0.0)
+    if kind == "unot":
+        cm, _ = eval_tape_tiles(tape[1], tiles, wsel, scorer_cls)
+        z = jnp.zeros((TILE, TILE), jnp.float32)
+        return ~cm, z
+    if kind == "opt":
+        cm, cs = eval_tape_tiles(tape[1], tiles, wsel, scorer_cls)
+        return jnp.ones_like(cm) | cm, jnp.where(cm, cs, 0.0)
+    if kind == "some":
+        _, kmin, children = tape
+        cnt = None
+        tot = None
+        for c in children:
+            cm, cs = eval_tape_tiles(c, tiles, wsel, scorer_cls)
+            ci = cm.astype(jnp.int32)
+            cnt = ci if cnt is None else cnt + ci
+            tot = cs if tot is None else tot + cs
+        m = cnt >= kmin
+        return m, jnp.where(m, tot, 0.0)
+    if kind == "false":
+        z = jnp.zeros((TILE, TILE), jnp.float32)
+        return z > 1, z
+    raise ValueError(kind)
+
+
+def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted):
+    scorer_cls = SIMILARITIES[scorer_name]
+    U = len(used)
+
+    def kernel(cs_ref, cn_ref, wbase_ref, nd_ref, wts_ref,
+               bmeta_ref, planes_ref, *rest):
+        if with_deleted:
+            del_ref = rest[0]
+            rest = rest[1:]
+        else:
+            del_ref = None
+        out_ref, rmax_ref, tiles_s, meta_s, rows_s, sems = rest
+        w = pl.program_id(0)
+        b = pl.program_id(1)
+        wbase = wbase_ref[w] * WINDOW_SIZE
+        for ui, t in enumerate(used):
+            _decode_cell(
+                bmeta_ref, planes_ref, tiles_s.at[ui], None,
+                meta_s, rows_s, sems,
+                cs_ref[w, b * T + t], cn_ref[w, b * T + t], wbase, group,
+            )
+        tiles = {t: tiles_s[ui] for ui, t in enumerate(used)}
+        mask, score = eval_tape_tiles(
+            tape, tiles, lambda i: wts_ref[b, i], scorer_cls
+        )
+        # local docid of tile[h, l] is h*128 + l (docid-major layout)
+        lid = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) * TILE
+            + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        )
+        live = mask & (lid < nd_ref[0] - wbase)
+        if del_ref is not None:
+            live = live & (del_ref[0] == 0)
+        sc = jnp.where(live, score, NEG_INF)
+        out_ref[0, 0] = sc
+        # lane maxima (reduce over sublanes — the cheap orientation),
+        # broadcast over 8 sublanes: Mosaic block shapes need the last two
+        # dims (8, 128)-divisible or full
+        rmax_ref[0, 0] = jnp.broadcast_to(
+            sc.max(axis=0, keepdims=True), (8, TILE)
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tape", "scorer_name", "n_windows", "n_terms", "batch", "interpret",
+    ),
+)
+def fused_score_tiles(
+    bmeta,  # (rows, 128) i32
+    planes,  # (R_pad, 128) u32
+    cell_start,  # (W, B*T) i32
+    cell_nblocks,  # (W, B*T) i32
+    weights,  # (B, NW) f32
+    n_docs,  # () i32
+    deleted,  # (W, 128, 128) f32 (1.0 = masked) or None
+    *,
+    tape,
+    scorer_name: str,
+    n_windows: int,
+    n_terms: int,
+    batch: int,
+    interpret: bool = False,
+):
+    """Returns (scores (B, W, 128, 128) f32 with -inf for non-matches,
+    lane maxima (B, W, 128) f32)."""
+    W, B, T = n_windows, batch, n_terms
+    used = tape_used_slots(tape)
+    group = GROUP_INTERPRET if interpret else GROUP
+    kernel = _make_score_kernel(
+        tape, used, scorer_name, T, group, deleted is not None
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if deleted is not None:
+        in_specs.append(
+            pl.BlockSpec((1, TILE, TILE), lambda w, b, *_: (w, 0, 0))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(W, B),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, TILE, TILE), lambda w, b, *_: (b, w, 0, 0)),
+            pl.BlockSpec((1, 1, 8, TILE), lambda w, b, *_: (b, w, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max(1, len(used)), TILE, TILE), jnp.float32),
+            pltpu.SMEM((META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
+            pltpu.VMEM((MAXROWS + 40, TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    wbase = jnp.arange(W, dtype=jnp.int32)
+    nd = jnp.asarray(n_docs, jnp.int32).reshape(1)
+    args = [cell_start, cell_nblocks, wbase, nd, weights, bmeta, planes]
+    if deleted is not None:
+        args.append(deleted)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W, TILE, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((B, W, 8, TILE), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def exact_window_topk(scores, rmax, k, sel_windows=16):
+    """Two-phase exact top-k with docid-asc tie-break (see module doc).
+
+    scores: (B, W, 128, 128) f32, rmax: (B, W, 8, 128) f32 (lane maxima
+    broadcast over 8 sublanes). Returns (values (B, k), local docids (B, k)).
+    """
+    B, W = rmax.shape[:2]
+    flat = scores.reshape(B, W, WINDOW_SIZE)
+    kap = min(W, max(16, k, sel_windows))
+    if kap < W:
+        wmax = rmax[:, :, 0, :].max(axis=-1)  # (B, W)
+        _, sel = jax.lax.top_k(wmax, kap)  # ties -> lower window index
+        sel = jnp.sort(sel, axis=1)  # ascending: flat order = docid order
+        g = jnp.take_along_axis(flat, sel[:, :, None], axis=1)
+    else:
+        sel = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
+        g = flat
+        kap = W
+    gv, gidx = jax.lax.top_k(g.reshape(B, kap * WINDOW_SIZE), k)
+    win = jnp.take_along_axis(sel, gidx // WINDOW_SIZE, axis=1)
+    gi = win * WINDOW_SIZE + gidx % WINDOW_SIZE
+    return gv, gi

@@ -123,14 +123,43 @@ def _freq_tiles_body(
     t = pl.program_id(1)
     n = cell_nblocks_ref[w, t]
     wbase = wbase_ref[w] * WINDOW_SIZE
+    b0 = cell_start_ref[w, t]
+    _decode_cell(
+        bmeta_ref, planes_ref, out_ref, off_ref, meta_s, rows_s, sems,
+        b0, n, wbase, GROUP,
+    )
 
-    out_ref[0, 0, :, :] = jnp.zeros((TILE, TILE), jnp.float32)
-    if off_ref is not None:
-        off_ref[0, 0, :, :] = jnp.zeros((TILE, TILE), jnp.int32)
+
+def _decode_cell(
+    bmeta_ref,  # ANY/HBM block metadata
+    planes_ref,  # ANY/HBM packed plane matrix
+    out_ref,  # VMEM freq-tile target (leading unit dims allowed)
+    off_ref,  # VMEM hits-offset tile target, or None
+    meta_s,  # SMEM (META_ROWS, 128) i32 scratch
+    rows_s,  # VMEM (MAXROWS + 40, 128) u32 scratch
+    sems,  # DMA semaphores (2,)
+    b0,  # i32 scalar: first block of the cell
+    n,  # i32 scalar: block count (0 = empty cell)
+    wbase,  # i32 scalar: window's first local docid
+    GROUP,  # blocks per inner-loop iteration
+):
+    """Decode one (window, term) cell into a docid-major 128x128 freq tile
+    (and optionally a hits-offset tile). Shared by the freq-tile kernel and
+    the fused score kernel (ops/fusedscore.py). Scratch is reused serially
+    across calls within one kernel invocation."""
+
+    def store(val_f32, off_i32=None):
+        out_ref[...] = val_f32.reshape(out_ref.shape)
+        if off_ref is not None and off_i32 is not None:
+            off_ref[...] = off_i32.reshape(off_ref.shape)
+
+    store(
+        jnp.zeros((TILE, TILE), jnp.float32),
+        jnp.zeros((TILE, TILE), jnp.int32) if off_ref is not None else None,
+    )
 
     @pl.when(n > 0)
     def _():
-        b0 = cell_start_ref[w, t]
         mr0 = b0 // META_PER_ROW
         mcp = pltpu.make_async_copy(
             bmeta_ref.at[pl.ds(mr0, META_ROWS), :], meta_s, sems.at[0]
@@ -251,52 +280,60 @@ def _freq_tiles_body(
                 off = jnp.where(valid, hits4 + epf, 0)  # (G,128)
                 off_hi = (off >> 12).astype(jnp.float32)
                 off_lo = (off & 4095).astype(jnp.float32)
-            # per-block one-hot scatters from the group-decoded rows
+            # whole-group one-hot scatter: concatenate the per-block one-hot
+            # and value matrices along the LANE axis and contract the G*128
+            # axis with ONE matmul pair — (128, G*128) @ (G*128, 128) runs as
+            # G back-to-back MXU passes instead of 2*G separately-issued
+            # 128^3 matmuls (the per-issue overhead dominated the kernel:
+            # measured 41 ms for 8086 blocks across 6144 mostly-1-block
+            # cells). Masks/selects stay in f32 (bf16 compares unsupported);
+            # casts to bf16 only at the matmul inputs — values <= 256 are
+            # bf16-exact.
             acc_l, acc_h = carry[0], carry[1]
-            acc_ohi = carry[2] if off_ref is not None else None
-            acc_olo = carry[3] if off_ref is not None else None
+            a_parts, vlo_parts, vhi_parts = [], [], []
+            olo_parts, ohi_parts = [], []
             for i in range(GROUP):
-                # masks/selects in f32 domain (bf16 compares are unsupported
-                # on this target); cast to bf16 only at the matmul inputs —
-                # all values are integers <= 256, exactly representable
                 a32 = (hi[i : i + 1, :] == iota_col).astype(jnp.float32)
                 onehot_lo = lo[i : i + 1, :] == iota_col
-                ab = a32.astype(jnp.bfloat16)
-                acc_l = acc_l + nt_scatter(
-                    ab,
-                    jnp.where(onehot_lo, flo[i : i + 1, :], 0.0).astype(
-                        jnp.bfloat16
-                    ),
-                )
-                acc_h = acc_h + nt_scatter(
-                    ab,
-                    jnp.where(onehot_lo, fhi[i : i + 1, :], 0.0).astype(
-                        jnp.bfloat16
-                    ),
-                )
+                a_parts.append(a32)
+                vlo_parts.append(jnp.where(onehot_lo, flo[i : i + 1, :], 0.0))
+                vhi_parts.append(jnp.where(onehot_lo, fhi[i : i + 1, :], 0.0))
                 if off_ref is not None:
-                    acc_ohi = acc_ohi + nt_scatter(
-                        a32,
-                        jnp.where(onehot_lo, off_hi[i : i + 1, :], 0.0),
-                        exact=True,
+                    ohi_parts.append(
+                        jnp.where(onehot_lo, off_hi[i : i + 1, :], 0.0)
                     )
-                    acc_olo = acc_olo + nt_scatter(
-                        a32,
-                        jnp.where(onehot_lo, off_lo[i : i + 1, :], 0.0),
-                        exact=True,
+                    olo_parts.append(
+                        jnp.where(onehot_lo, off_lo[i : i + 1, :], 0.0)
                     )
+            a_all = jnp.concatenate(a_parts, axis=1)  # (TILE, G*TILE)
+            ab_all = a_all.astype(jnp.bfloat16)
+            acc_l = acc_l + nt_scatter(
+                ab_all,
+                jnp.concatenate(vlo_parts, axis=1).astype(jnp.bfloat16),
+            )
+            acc_h = acc_h + nt_scatter(
+                ab_all,
+                jnp.concatenate(vhi_parts, axis=1).astype(jnp.bfloat16),
+            )
             if off_ref is None:
                 return (acc_l, acc_h)
+            acc_ohi = carry[2] + nt_scatter(
+                a_all, jnp.concatenate(ohi_parts, axis=1), exact=True
+            )
+            acc_olo = carry[3] + nt_scatter(
+                a_all, jnp.concatenate(olo_parts, axis=1), exact=True
+            )
             return (acc_l, acc_h, acc_ohi, acc_olo)
 
         z = jnp.zeros((TILE, TILE), jnp.float32)
         init = (z, z) if off_ref is None else (z, z, z, z)
         carry = jax.lax.fori_loop(0, pl.cdiv(n, GROUP), group_body, init)
-        out_ref[0, 0, :, :] = carry[1] * 256.0 + carry[0]
-        if off_ref is not None:
-            off_ref[0, 0, :, :] = (
-                carry[2].astype(jnp.int32) * 4096 + carry[3].astype(jnp.int32)
-            )
+        store(
+            carry[1] * 256.0 + carry[0],
+            (carry[2].astype(jnp.int32) * 4096 + carry[3].astype(jnp.int32))
+            if off_ref is not None
+            else None,
+        )
 
 
 @functools.partial(

@@ -436,6 +436,7 @@ class MeshExecutor:
                 ex._max_freq_cache = {}
                 ex._deleted = None
                 ex._deleted_np = None
+                ex._deleted_tiles = None
                 exes.append(ex)
             self._executors = exes
         return self._executors

@@ -53,6 +53,10 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, u8p, i64p, ctypes.c_int,
         u8p, u32p, ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.trin_decode_blocks.restype = ctypes.c_int64
+    lib.trin_decode_blocks.argtypes = [
+        ctypes.c_int64, u32p, u32p, u8p, u8p, u32p, i32p, u32p, u32p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -162,3 +166,32 @@ def pack_value_groups(values: np.ndarray):
     np.cumsum(gbits, out=off[1:])
     rows = -(-int(used) // 32)
     return words[:rows].copy(), off
+
+
+def decode_blocks(seg) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Whole-segment postings decode -> (docids u32, freqs u32), in block
+    order (term-major). The merge/compaction hot path (the codec-native
+    N-way merge role, lucene_codec.cpp:963-1393). None if lib missing."""
+    lib = load()
+    if lib is None:
+        return None
+    n_blocks = len(seg.block_plane_off)
+    total = int(seg.block_count.sum()) if n_blocks else 0
+    out_docs = np.zeros(total, np.uint32)
+    out_freqs = np.zeros(total, np.uint32)
+    if n_blocks == 0:
+        return out_docs, out_freqs
+    n = lib.trin_decode_blocks(
+        n_blocks,
+        np.ascontiguousarray(seg.planes.reshape(-1), np.uint32),
+        np.ascontiguousarray(seg.block_plane_off, np.uint32),
+        np.ascontiguousarray(seg.block_bits_doc, np.uint8),
+        np.ascontiguousarray(seg.block_bits_freq, np.uint8),
+        np.ascontiguousarray(seg.block_first_doc, np.uint32),
+        np.ascontiguousarray(seg.block_count, np.int32),
+        out_docs,
+        out_freqs,
+    )
+    if n != total:
+        raise ValueError(f"native decode wrote {n} of {total} postings")
+    return out_docs, out_freqs
