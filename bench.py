@@ -128,11 +128,17 @@ def main():
         ex.search(q, k=10)
         lat.append(time.perf_counter() - t1)
     lat_ms = np.array(lat) * 1e3
+    mem = seg.memory_report()
     out = {
         "metric": (
             "mixed AND/OR/NOT/phrase BM25 top-10 QPS, single chip, "
             f"{N_DOCS} docs (p50={np.percentile(lat_ms, 50):.2f}ms "
             f"p99={np.percentile(lat_ms, 99):.2f}ms, index build {build_s:.0f}s, "
+            f"index mem {mem['total']/1e6:.0f}MB "
+            f"[postings {mem['postings_planes']/1e6:.0f} + positions "
+            f"{mem['positions_planes']/1e6:.0f} + meta "
+            f"{mem['block_term_meta']/1e6:.0f} + terms "
+            f"{mem['terms_dict']/1e6:.1f}], "
             f"backend={jax.default_backend()})"
         ),
         "value": round(qps, 2),

@@ -100,8 +100,17 @@ def test_persist_load_roundtrip(built, tmp_path):
     np.testing.assert_array_equal(seg.planes, seg2.planes)
     np.testing.assert_array_equal(seg.doc_map, seg2.doc_map)
     np.testing.assert_array_equal(seg.positions, seg2.positions)
-    assert seg.terms == seg2.terms
+    # loaded segments keep the dictionary PACKED (terms.cpp:8-103 memory
+    # model): lookups resolve through lookup_term, the Python list only
+    # materializes on demand (terms_list, cold paths)
+    assert seg2.terms is None
+    assert seg2.n_terms == seg.n_terms
+    for t in seg.terms:
+        assert seg2.term_id(t) == seg.term_id(t)
+    assert seg2.term_id(b"zzz-none") == -1
+    assert seg2.terms_list() == seg.terms
     assert seg2.stats.docs_cnt == seg.stats.docs_cnt
+    assert seg2.memory_report()["total"] > 0
 
 
 def test_terms_dictionary(built):
@@ -200,3 +209,49 @@ def test_bulk_index_position_limit():
     with pytest.raises(ValueError):
         sess.bulk_index([1], [["t"] * MAX_POSITION])
     sess.bulk_index([2], [["t"] * (MAX_POSITION - 1)])  # max legal length
+
+
+def test_spill_bounded_indexing(tmp_path):
+    """Bounded-memory indexing: intermediate state spills to temp files
+    (intermediateStateFlushFreq, indexer.cpp:134-152) and commit merges the
+    spills — identical segment to the unspilled build."""
+    rng = np.random.default_rng(21)
+    docs = {
+        d: [f"s{int(x)}" for x in rng.integers(0, 25, rng.integers(2, 8))]
+        for d in range(400)
+    }
+
+    def build(**kw):
+        sess = SegmentIndexSession(**kw)
+        for d, toks in docs.items():
+            p = sess.begin(d)
+            for pos, t in enumerate(toks, 1):
+                p.insert(t, pos)
+            sess.insert(p)
+        return sess.commit()
+
+    a = build()
+    sess = SegmentIndexSession(spill_threshold=300, spill_dir=str(tmp_path))
+    for d, toks in docs.items():
+        p = sess.begin(d)
+        for pos, t in enumerate(toks, 1):
+            p.insert(t, pos)
+        sess.insert(p)
+    assert sess._spills, "threshold should have forced spills"
+    b = sess.commit()
+    assert not sess._spills  # cleaned up
+    assert a.terms == b.terms
+    np.testing.assert_array_equal(a.planes, b.planes)
+    np.testing.assert_array_equal(a.doc_map, b.doc_map)
+    np.testing.assert_array_equal(
+        np.asarray(a.positions), np.asarray(b.positions)
+    )
+
+    # bulk path spills too
+    sess2 = SegmentIndexSession(spill_threshold=300, spill_dir=str(tmp_path))
+    ids = list(docs)
+    sess2.bulk_index(ids[:200], [docs[d] for d in ids[:200]])
+    sess2.bulk_index(ids[200:], [docs[d] for d in ids[200:]])
+    assert sess2._spills
+    c = sess2.commit()
+    np.testing.assert_array_equal(a.planes, c.planes)

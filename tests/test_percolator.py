@@ -151,3 +151,50 @@ def test_many_queries_scale():
         want = oracle_match_ids(corpus, parse_query(texts[qi]).root)
         got = list(np.flatnonzero(m[:, qi]))
         assert got == want, texts[qi]
+
+
+def test_percolator_scale_with_phrases():
+    """BASELINE config #4 measured: thousands of registered queries
+    (phrase-heavy) against a document batch — the vectorized phrase
+    incidence + cached program pack must sustain throughput, and results
+    must match the per-document reference walk."""
+    import time
+
+    rng = np.random.default_rng(55)
+    perc = Percolator()
+    n_q = 3000
+    texts = []
+    for i in range(n_q):
+        a, b, c = (int(x) for x in rng.integers(0, 200, 3))
+        kind = i % 4
+        if kind == 0:
+            texts.append(f"v{a} v{b}")
+        elif kind == 1:
+            texts.append(f"v{a} OR v{b} OR v{c}")
+        elif kind == 2:
+            texts.append(f'"v{a} v{b}"')
+        else:
+            texts.append(f"v{a} NOT v{b}")
+        perc.register(texts[-1])
+    docs = [
+        [f"v{int(x)}" for x in rng.integers(0, 200, 30)] for _ in range(1000)
+    ]
+    t0 = time.time()
+    m = perc.match_batch(docs)
+    wall = time.time() - t0
+    assert m.shape == (1000, n_q)
+    rate = 1000 * n_q / wall
+    print(f"percolator: {rate/1e6:.2f}M (doc,query) evals/s, {wall:.2f}s")
+    # budget: 3M pair evaluations with phrases in bounded time even on the
+    # 1-core CPU test host (was minutes with per-pair Python adjacency)
+    assert wall < 120.0
+    # spot-check 30 (doc, query) pairs against the reference semantics
+    from trinity_tpu.oracle import OracleCorpus, oracle_match_ids
+
+    for di in rng.integers(0, 1000, 5):
+        corpus = OracleCorpus()
+        corpus.add(0, docs[int(di)])
+        for qi in rng.integers(0, n_q, 6):
+            q = parse_query(texts[int(qi)])
+            want = bool(len(oracle_match_ids(corpus, q.root)))
+            assert bool(m[int(di), int(qi)]) == want, (di, qi)

@@ -201,3 +201,31 @@ def test_phrase_member_indices():
     assert flat[0] == ["a"] and flat[1] == ["b"]
     assert qit[0][0].to_next_span == 1  # inner member
     assert max(flat) > 1 and "c" in flat[max(flat)]
+
+
+def test_doc_set_and_veto(ex):
+    """VectorIDs analog (AND against an app-supplied doc set,
+    docset_iterators.cpp:415-452) and the IndexDocumentsFilter pre-veto
+    (matches.h:198-201)."""
+    base = ex.match_ids("apple")
+    assert len(base) >= 3
+    subset = base[::2]
+    got = ex.match_ids("apple", doc_set=subset)
+    np.testing.assert_array_equal(got, subset)
+    # ranked search against a doc set: results stay within the set
+    res = ex.search("apple", k=10, doc_set=subset)
+    assert res and all(r.doc_id in set(subset.tolist()) for r in res)
+    # search without doc_set is unaffected afterwards (masks restored)
+    np.testing.assert_array_equal(ex.match_ids("apple"), base)
+
+    vetoed = {int(base[0])}
+    seen = []
+    exec_rich(ex, "apple", lambda md: seen.append(md.doc_id),
+              doc_filter=lambda d: d in vetoed)
+    assert vetoed.isdisjoint(seen)
+    assert set(seen) == set(int(x) for x in base) - vetoed
+
+    seen2 = []
+    exec_rich(ex, "apple", lambda md: seen2.append(md.doc_id),
+              doc_set=subset)
+    assert set(seen2) == set(int(x) for x in subset)

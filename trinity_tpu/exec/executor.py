@@ -101,6 +101,19 @@ def _lazy_jax():
     return jax, jnp
 
 
+@functools.lru_cache(maxsize=8192)
+def _plan_for_text(qtext: str):
+    """Parse + normalize + compile, cached by query text. The reference
+    re-parses per call because C++ parsing is ~microseconds
+    (exec.cpp:529-539); Python parsing measures ~175 us/query, so repeated
+    query texts (hot queries in serving) hit this cache instead. The
+    returned root/plan are treated as immutable by all engine paths."""
+    q = parse_query(qtext)
+    if q.root is None:
+        return None, None
+    return q.root, compile_plan(q.root)
+
+
 # --------------------------------------------------------------------------
 # stage 2: tape evaluation over (W, WINDOW_SIZE) flattened tiles
 # --------------------------------------------------------------------------
@@ -763,6 +776,35 @@ class Executor:
             m.reshape(W, TILE, TILE).astype(np.float32)
         )
 
+    def _doc_set_masks(self, doc_set):
+        """Fold an app-supplied docid set (the VectorIDs / AppIterator
+        extension point, docset_iterators.cpp:415-452: AND the query against
+        these ids) into the deletion-mask machinery: everything OUTSIDE the
+        set is masked for this call. Returns the saved mask state."""
+        _, jnp = _lazy_jax()
+        from trinity_tpu.limits import TILE
+
+        saved = (self._deleted, self._deleted_np, self._deleted_tiles)
+        ids = np.asarray(doc_set, np.int64)
+        # app ids -> local ids via the sorted doc_map
+        idx = np.searchsorted(self.seg.doc_map, ids)
+        idx = np.minimum(idx, self.seg.n_docs - 1)
+        local = idx[self.seg.doc_map[idx] == ids]
+        W = self.seg.n_windows
+        m = np.ones(W * WINDOW_SIZE, bool)
+        m[local] = False  # mask everything not in the set
+        if self._deleted_np is not None:
+            m |= self._deleted_np
+        self._deleted = jnp.asarray(m)
+        self._deleted_np = m
+        self._deleted_tiles = jnp.asarray(
+            m.reshape(W, TILE, TILE).astype(np.float32)
+        )
+        return saved
+
+    def _restore_masks(self, saved):
+        self._deleted, self._deleted_np, self._deleted_tiles = saved
+
     def _launch_bool(self, plan, cs, cn, weights, k, scorer):
         """Issue the boolean-tape device program; returns ((k,), (k,))
         pending device arrays. Prefers the fused score kernel."""
@@ -794,14 +836,12 @@ class Executor:
 
         jax, jnp = _lazy_jax()
         if isinstance(query, str):
-            query = parse_query(query)
-        if isinstance(query, Query):
-            root = query.root
+            root, plan = _plan_for_text(query)
         else:
-            root = query
+            root = query.root if isinstance(query, Query) else query
+            plan = compile_plan(root) if root is not None else None
         if root is None:
             return None
-        plan = compile_plan(root)
         seg = self.seg
         tids = [seg.term_id(t) for t in plan.term_texts]
         cell_start, cell_nblocks = compute_cells(seg, tids)
@@ -879,9 +919,22 @@ class Executor:
         scorer: str = "bm25",
         stats=None,
         df_of=None,
+        doc_set=None,
     ) -> List[SearchResult]:
-        """AccumulatedScoreScheme execution (exec.h:25-34): ranked top-k."""
+        """AccumulatedScoreScheme execution (exec.h:25-34): ranked top-k.
+
+        doc_set: optional app docid array the query is ANDed against — the
+        application-supplied docid-set node (VectorIDs,
+        docset_iterators.cpp:415-452). Executors are per-session
+        single-threaded like the reference's per-query exec context."""
         from trinity_tpu.utils.timings import trace
+
+        if doc_set is not None:
+            saved = self._doc_set_masks(doc_set)
+            try:
+                return self.search(query, k, scorer, stats, df_of)
+            finally:
+                self._restore_masks(saved)
 
         with trace("exec.prepare"):
             prep = self._prepare(query, scorer, stats, df_of)
@@ -1075,10 +1128,15 @@ class Executor:
 
         seg = self.seg
         parsed = []
+        plans = []
         for q in queries:
             if isinstance(q, str):
-                q = parse_query(q)
-            parsed.append(q.root if isinstance(q, Query) else q)
+                root, plan = _plan_for_text(q)
+            else:
+                root = q.root if isinstance(q, Query) else q
+                plan = compile_plan(root) if root is not None else None
+            parsed.append(root)
+            plans.append(plan)
         model = SIMILARITIES[scorer]
         docs_cnt = stats.docs_cnt if stats else seg.stats.docs_cnt
         if df_of is None:
@@ -1093,7 +1151,7 @@ class Executor:
             if root is None:
                 order.append(None)
                 continue
-            plan = compile_plan(root)
+            plan = plans[qi]
             key = plan.tape
             if plan.has_phrase:
                 phrase_groups.setdefault(key, []).append((qi, plan))
@@ -1166,8 +1224,15 @@ class Executor:
                 results[qi] = res
         return [r if r is not None else [] for r in results]
 
-    def match_ids(self, query, scorer: str = "trivial") -> np.ndarray:
-        """DocumentsOnly execution (exec.h:12-23): matching app doc ids asc."""
+    def match_ids(self, query, scorer: str = "trivial", doc_set=None) -> np.ndarray:
+        """DocumentsOnly execution (exec.h:12-23): matching app doc ids asc.
+        doc_set: optional app docid restriction (VectorIDs analog)."""
+        if doc_set is not None:
+            saved = self._doc_set_masks(doc_set)
+            try:
+                return self.match_ids(query, scorer)
+            finally:
+                self._restore_masks(saved)
         prep = self._prepare(query, scorer)
         if prep is None:
             return np.zeros(0, np.uint32)

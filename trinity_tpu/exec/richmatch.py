@@ -294,6 +294,8 @@ def exec_rich(
     candidate_cap: Optional[int] = None,
     disregard_token_flags: bool = False,
     on_prepare: Optional[Callable[[dict], None]] = None,
+    doc_filter: Optional[Callable[[int], bool]] = None,
+    doc_set=None,
 ) -> int:
     """Default-mode execution: invokes on_match(MatchedDocument) for every
     matching document in ascending doc order (exec.cpp default mode).
@@ -304,7 +306,21 @@ def exec_rich(
     prepare() analog, matches.h:139-147) and on every MatchedDocument.
     disregard_token_flags = ExecFlags::DisregardTokenFlagsForQueryIndicesTerms
     (exec.h:36-42): dedup per-index terms by (term, toNextSpan) and zero the
-    flags."""
+    flags.
+
+    doc_filter(app_docid) -> True to disregard the document BEFORE it is
+    materialized/evaluated — the IndexDocumentsFilter pre-veto
+    (matches.h:198-201). doc_set: optional app docid array the query is
+    ANDed against (VectorIDs, docset_iterators.cpp:415-452)."""
+    if doc_set is not None:
+        saved = executor._doc_set_masks(doc_set)
+        try:
+            return exec_rich(
+                executor, query, on_match, candidate_cap,
+                disregard_token_flags, on_prepare, doc_filter,
+            )
+        finally:
+            executor._restore_masks(saved)
     import jax.numpy as jnp
 
     from trinity_tpu.oracle import Scorer, _eval
@@ -373,6 +389,9 @@ def exec_rich(
             if not valid[w, c]:
                 break
             local = w * WINDOW_SIZE + int(ki[w, c])
+            app_id = int(seg.doc_map[local])
+            if doc_filter is not None and doc_filter(app_id):
+                continue  # pre-eval veto (matches.h:198-201)
             doc_terms: Dict[str, List[int]] = {}
             doc_offs: Dict[str, int] = {}
             for s, text in enumerate(plan.term_texts):
@@ -402,7 +421,7 @@ def exec_rich(
                     MatchedTerm(term=text, freq=len(pos_list), hits=hits)
                 )
             md = MatchedDocument(
-                doc_id=int(seg.doc_map[local]),
+                doc_id=app_id,
                 matched_terms=mts,
                 dws=dws,
                 query_index_terms=qit,

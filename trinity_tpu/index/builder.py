@@ -12,6 +12,8 @@ tuples, partitioned parallel sort, per-term encoder replay
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from trinity_tpu.index.format import FieldStatistics, SegmentData
@@ -44,12 +46,27 @@ class DocumentProxy:
 class SegmentIndexSession:
     """Builds one segment from documents (indexer.h:30, indexer.cpp:311-564)."""
 
-    def __init__(self, track_payloads: bool = False):
+    def __init__(
+        self,
+        track_payloads: bool = False,
+        spill_threshold: int | None = None,
+        spill_dir: str | None = None,
+    ):
         self._terms: dict = {}  # bytes -> intern id (session-local, indexer.cpp:161-185)
         self._term_list: list = []
         self._docs: dict = {}  # app docid -> list[(intern tid, pos, payload)]
+        self._seen: set = set()  # all committed doc ids (duplicate guard)
         self._updated: set = set()
         self.track_payloads = track_payloads
+        # bounded-memory indexing (intermediateStateFlushFreq analog,
+        # indexer.cpp:134-152): once the buffered hit count crosses the
+        # threshold, the in-memory document buffer is flushed to a temp
+        # spill file; commit() concatenates spills + live buffer, so RAM is
+        # bounded by the spill threshold instead of the corpus size
+        self.spill_threshold = spill_threshold
+        self._spill_dir = spill_dir
+        self._spills: list = []
+        self._pending_hits = 0
 
     # ----------------------------------------------------------- interning
     def _intern(self, term) -> int:
@@ -82,10 +99,73 @@ class SegmentIndexSession:
         self._updated.add(doc_id)
 
     def _commit_document(self, proxy: DocumentProxy) -> None:
-        if proxy.doc_id in self._docs:
+        if proxy.doc_id in self._seen:
             # duplicate-doc guard (indexer.cpp:187-222)
             raise ValueError(f"document {proxy.doc_id} committed twice")
+        self._seen.add(proxy.doc_id)
         self._docs[proxy.doc_id] = proxy.hits
+        self._pending_hits += len(proxy.hits)
+        self._maybe_spill()
+
+    def _maybe_spill(self) -> None:
+        if (
+            self.spill_threshold is not None
+            and self._pending_hits >= self.spill_threshold
+        ):
+            self.flush_intermediate()
+
+    def flush_intermediate(self) -> None:
+        """Spill the buffered documents to a temp file (the reference's
+        intermediate-state flush, indexer.cpp:134-152). Safe to call any
+        time; commit() merges every spill."""
+        if not self._docs:
+            return
+        import tempfile
+
+        tid_a, doc_a, pos_a, pay_a = self._flatten_pending()
+        fd, path = tempfile.mkstemp(
+            suffix=".trinity-spill.npz", dir=self._spill_dir
+        )
+        with os.fdopen(fd, "wb") as f:
+            arrays = {"tid": tid_a, "doc": doc_a, "pos": pos_a}
+            if pay_a is not None:
+                arrays["pay"] = pay_a
+            np.savez(f, **arrays)
+        self._spills.append(path)
+        self._docs.clear()
+        self._pending_hits = 0
+
+    def _flatten_pending(self):
+        """Flatten the buffered docs into flat hit arrays with APP doc ids
+        (local ids are assigned at commit, after all spills are known)."""
+
+        def nhits(h):
+            return len(h[0]) if isinstance(h, tuple) else len(h)
+
+        total = sum(nhits(h) for h in self._docs.values())
+        tid_a = np.empty(total, np.int64)
+        doc_a = np.empty(total, np.int64)
+        pos_a = np.empty(total, np.int64)
+        pay_a = np.empty(total, np.uint64) if self.track_payloads else None
+        o = 0
+        for app_id, hits in self._docs.items():
+            if isinstance(hits, tuple):  # bulk_index array fast path
+                n = len(hits[0])
+                tid_a[o : o + n] = hits[0]
+                doc_a[o : o + n] = app_id
+                pos_a[o : o + n] = hits[1]
+                if pay_a is not None:
+                    pay_a[o : o + n] = hits[2] if hits[2] is not None else 0
+                o += n
+                continue
+            for t, pp, pl in hits:
+                tid_a[o] = t
+                doc_a[o] = app_id
+                pos_a[o] = pp
+                if pay_a is not None:
+                    pay_a[o] = pl
+                o += 1
+        return tid_a, doc_a, pos_a, pay_a
 
     def bulk_index(
         self, doc_ids, docs_tokens, first_pos: int = 1, payloads=None
@@ -118,8 +198,9 @@ class SegmentIndexSession:
         for di, (d, toks) in enumerate(zip(doc_ids, docs_tokens)):
             n = len(toks)
             d = int(d)
-            if d in self._docs:
+            if d in self._seen:
                 raise ValueError(f"document {d} committed twice")
+            self._seen.add(d)
             # bulk documents store hits as arrays (fast path in commit)
             self._docs[d] = (
                 tids[o : o + n],
@@ -128,44 +209,47 @@ class SegmentIndexSession:
                 if payloads is not None
                 else None,
             )
+            self._pending_hits += n
             o += n
+        self._maybe_spill()
 
     # -------------------------------------------------------------- commit
     def commit(self) -> SegmentData:
-        app_ids = np.array(sorted(self._docs), dtype=np.uint32)
+        app_ids = np.array(sorted(self._seen), dtype=np.uint32)
         n_docs = len(app_ids)
-        local_of = {int(a): i for i, a in enumerate(app_ids)}
 
-        # flatten all hits into arrays: (intern tid, local doc, pos, payload)
-        def nhits(h):
-            return len(h[0]) if isinstance(h, tuple) else len(h)
-
-        total = sum(nhits(h) for h in self._docs.values())
-        tid_a = np.empty(total, np.int64)
-        doc_a = np.empty(total, np.int64)
-        pos_a = np.empty(total, np.int64)
-        pay_a = np.empty(total, np.uint64) if self.track_payloads else None
-        o = 0
-        for app_id, hits in self._docs.items():
-            ld = local_of[app_id]
-            if isinstance(hits, tuple):  # bulk_index array fast path
-                n = len(hits[0])
-                tid_a[o : o + n] = hits[0]
-                doc_a[o : o + n] = ld
-                pos_a[o : o + n] = hits[1]
-                if pay_a is not None:
-                    pay_a[o : o + n] = (
-                        hits[2] if hits[2] is not None else 0
-                    )
-                o += n
-                continue
-            for t, p, pl in hits:
-                tid_a[o] = t
-                doc_a[o] = ld
-                pos_a[o] = p
-                if pay_a is not None:
-                    pay_a[o] = pl
-                o += 1
+        # flatten live buffer + spilled chunks (app doc ids throughout)
+        parts = [self._flatten_pending()]
+        for path in self._spills:
+            z = np.load(path)
+            parts.append(
+                (
+                    z["tid"],
+                    z["doc"],
+                    z["pos"],
+                    z["pay"] if "pay" in z.files else None,
+                )
+            )
+            os.unlink(path)
+        self._spills.clear()
+        tid_a = np.concatenate([x[0] for x in parts])
+        doc_app = np.concatenate([x[1] for x in parts])
+        pos_a = np.concatenate([x[2] for x in parts])
+        pay_a = (
+            np.concatenate(
+                [
+                    x[3]
+                    if x[3] is not None
+                    else np.zeros(len(x[0]), np.uint64)
+                    for x in parts
+                ]
+            )
+            if self.track_payloads
+            else None
+        )
+        total = len(tid_a)
+        # app -> dense local ids (one vectorized remap over all hits)
+        doc_a = np.searchsorted(app_ids, doc_app).astype(np.int64)
 
         # sorted term space: intern id -> sorted ordinal (terms_cmp order)
         order = sorted(range(len(self._term_list)), key=lambda i: self._term_list[i])

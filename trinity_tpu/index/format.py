@@ -68,8 +68,12 @@ class SegmentData:
 
     # local docid -> application docid, ascending (dense local id space)
     doc_map: np.ndarray  # u32 [n_docs]
-    # terms, sorted by byte comparison (terms_cmp, common.h:50-58)
-    terms: list  # list[bytes], index = term id
+    # terms, sorted by byte comparison (terms_cmp, common.h:50-58).
+    # None on loaded segments: lookups then go through the packed
+    # prefix-compressed dictionary (terms_data/terms_idx) so large
+    # vocabularies never materialize as Python lists (terms.cpp:8-103
+    # memory model); terms_list() materializes on demand (merge path).
+    terms: list | None  # list[bytes], index = term id
     term_block_start: np.ndarray  # u32 [n_terms]
     term_nblocks: np.ndarray  # u32 [n_terms]
     term_df: np.ndarray  # u32 [n_terms] document frequency
@@ -93,6 +97,11 @@ class SegmentData:
     stats: FieldStatistics = field(default_factory=FieldStatistics)
     # max indexed token position (IndexSource::max_indexed_position analog)
     max_position: int = 0
+    # packed terms dictionary (authoritative on loaded segments)
+    terms_data: np.ndarray | None = None
+    terms_idx: np.ndarray | None = None
+    _n_terms: int = -1  # count when terms is lazy
+    _term_cache: dict = field(default_factory=dict, repr=False)
 
     @property
     def n_docs(self) -> int:
@@ -100,7 +109,7 @@ class SegmentData:
 
     @property
     def n_terms(self) -> int:
-        return len(self.terms)
+        return len(self.terms) if self.terms is not None else self._n_terms
 
     @property
     def n_windows(self) -> int:
@@ -113,15 +122,66 @@ class SegmentData:
         return PositionsView(self.hit_planes, self.hit_group_off)
 
     def term_id(self, term) -> int:
-        """Exact term lookup -> term id, or -1 (resolve_term_ctx analog)."""
+        """Exact term lookup -> term id, or -1 (resolve_term_ctx analog).
+
+        Loaded segments resolve through the packed prefix-compressed
+        dictionary (terms.cpp:8-103: skiplist binary search + bounded block
+        scan) with a hot-term cache — the full term list is never
+        materialized on the serve path."""
         if isinstance(term, str):
             term = term.encode("utf-8")
+        if self.terms is None:
+            tid = self._term_cache.get(term)
+            if tid is None:
+                from trinity_tpu.index.terms import lookup_term
+
+                tid = lookup_term(self.terms_data, self.terms_idx, term)
+                if len(self._term_cache) > 65536:
+                    self._term_cache.clear()  # bound the hot cache
+                self._term_cache[term] = tid
+            return tid
         import bisect
 
         i = bisect.bisect_left(self.terms, term)
         if i < len(self.terms) and self.terms[i] == term:
             return i
         return -1
+
+    def terms_list(self) -> list:
+        """Materialize (and retain) the full term list — cold paths only
+        (merge, sharding); the serve path uses term_id over the packed
+        dictionary."""
+        if self.terms is None:
+            from trinity_tpu.index.terms import unpack_terms
+
+            self.terms = unpack_terms(self.terms_data, self.terms_idx)
+        return self.terms
+
+    def memory_report(self) -> dict:
+        """Index-memory accounting in bytes (the equal-index-memory
+        BASELINE constraint): postings planes, positions planes, block/term
+        metadata, packed terms dictionary."""
+        from trinity_tpu.index.terms import pack_terms
+
+        if self.terms_data is None:
+            self.terms_data, self.terms_idx = pack_terms(self.terms)
+        meta = sum(
+            getattr(self, n).nbytes
+            for n in self._ARRAYS
+            if n not in ("planes", "hit_planes")
+        )
+        rep = {
+            "postings_planes": int(self.planes.nbytes),
+            "positions_planes": int(self.hit_planes.nbytes),
+            "block_term_meta": int(meta),
+            "terms_dict": int(
+                self.terms_data.nbytes + self.terms_idx.nbytes
+            ),
+        }
+        if self.payloads is not None:
+            rep["payloads"] = int(self.payloads.nbytes)
+        rep["total"] = sum(rep.values())
+        return rep
 
     # ------------------------------------------------------------------ I/O
     _ARRAYS = (
@@ -152,7 +212,10 @@ class SegmentData:
         arrays = {name: getattr(self, name) for name in self._ARRAYS}
         if self.payloads is not None:
             arrays["payloads"] = self.payloads
-        tdata, tidx = pack_terms(self.terms)
+        if self.terms_data is not None:
+            tdata, tidx = self.terms_data, self.terms_idx  # already packed
+        else:
+            tdata, tidx = pack_terms(self.terms)
         arrays["terms_data"] = tdata
         arrays["terms_idx"] = tidx
         tmp = os.path.join(path, "index.npz.t")
@@ -184,14 +247,16 @@ class SegmentData:
         if manifest["codec"] != CODEC_NAME:
             raise ValueError(f"unknown codec {manifest['codec']!r}")
         z = np.load(os.path.join(path, "index.npz"))
-        from trinity_tpu.index.terms import unpack_terms
-
         kw = {name: z[name] for name in cls._ARRAYS}
         kw["payloads"] = z["payloads"] if manifest["has_payloads"] else None
-        kw["terms"] = unpack_terms(z["terms_data"], z["terms_idx"])
+        # terms stay PACKED: lookups go through lookup_term (terms.cpp:8-103)
+        kw["terms"] = None
         return cls(
             stats=FieldStatistics.from_dict(manifest["stats"]),
             max_position=manifest["max_position"],
+            terms_data=z["terms_data"],
+            terms_idx=z["terms_idx"],
+            _n_terms=int(manifest["n_terms"]),
             **kw,
         )
 

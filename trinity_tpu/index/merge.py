@@ -134,7 +134,7 @@ class MergeCandidatesCollection:
                 if seen_app is None
                 else np.union1d(seen_app, kept_ids)
             )
-            term_names.update(seg.terms)
+            term_names.update(seg.terms_list())
 
         new_app = (
             np.unique(np.concatenate(app_id_arrays))
@@ -165,7 +165,7 @@ class MergeCandidatesCollection:
             pos = np.asarray(seg.positions[np.flatnonzero(hit_alive)])
             trans = np.searchsorted(new_app, seg.doc_map).astype(np.int64)
             rank_of = np.array(
-                [term_rank[t] for t in seg.terms], np.int64
+                [term_rank[t] for t in seg.terms_list()], np.int64
             )
             all_doc.append(trans[hit_doc[hit_alive]])
             all_tid.append(rank_of[hit_tid[hit_alive]])

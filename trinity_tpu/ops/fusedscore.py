@@ -47,11 +47,11 @@ from trinity_tpu.models.similarity import SIMILARITIES
 from trinity_tpu.ops.postings import (
     GROUP,
     GROUP_INTERPRET,
-    MAXROWS,
     META_PER_ROW,
     META_COLS,
     META_ROWS,
-    _decode_cell,
+    ROWS_FIXED,
+    _decode_cells_pipelined,
 )
 
 NEG_INF = float("-inf")
@@ -137,16 +137,22 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted):
             rest = rest[1:]
         else:
             del_ref = None
-        out_ref, rmax_ref, tiles_s, meta_s, rows_s, sems = rest
+        out_ref, rmax_ref, tiles_s, metas_s, rowss_s, sems = rest
         w = pl.program_id(0)
         b = pl.program_id(1)
         wbase = wbase_ref[w] * WINDOW_SIZE
-        for ui, t in enumerate(used):
-            _decode_cell(
-                bmeta_ref, planes_ref, tiles_s.at[ui], None,
-                meta_s, rows_s, sems,
-                cs_ref[w, b * T + t], cn_ref[w, b * T + t], wbase, group,
-            )
+        # software-pipelined decode of all used slots: every meta DMA goes
+        # into flight before any is awaited, then every planes DMA — the
+        # per-decode serialized DMA round trips were the kernel's dominant
+        # cost (~3.3 us/decode measured vs ~0.15 us/block of actual decode)
+        cells = [
+            (cs_ref[w, b * T + t], cn_ref[w, b * T + t]) for t in used
+        ]
+        _decode_cells_pipelined(
+            bmeta_ref, planes_ref,
+            [tiles_s.at[ui] for ui in range(len(used))],
+            metas_s, rowss_s, sems, cells, wbase, group,
+        )
         tiles = {t: tiles_s[ui] for ui, t in enumerate(used)}
         mask, score = eval_tape_tiles(
             tape, tiles, lambda i: wts_ref[b, i], scorer_cls
@@ -219,9 +225,12 @@ def fused_score_tiles(
         ),
         scratch_shapes=[
             pltpu.VMEM((max(1, len(used)), TILE, TILE), jnp.float32),
-            pltpu.SMEM((META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
-            pltpu.VMEM((MAXROWS + 40, TILE), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM(
+                (max(1, len(used)), META_ROWS, META_PER_ROW * META_COLS),
+                jnp.int32,
+            ),
+            pltpu.VMEM((max(1, len(used)), ROWS_FIXED, TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2 * max(1, len(used)),)),
         ],
     )
     wbase = jnp.arange(W, dtype=jnp.int32)

@@ -84,7 +84,7 @@ def split_segment(seg: SegmentData, n_shards: int) -> List[SegmentData]:
         shards.append(
             _build_segment(
                 keep_ids.astype(np.uint32),
-                list(seg.terms),
+                list(seg.terms_list()),
                 tid_a,
                 doc_a,
                 pos_a,

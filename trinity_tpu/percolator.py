@@ -149,15 +149,16 @@ class Percolator:
 
     # ------------------------------------------------------------- state
     def _pack(self):
-        """Pack registered programs into dense arrays for device eval."""
+        """Pack registered programs into dense arrays for device eval,
+        including the unique-phrase table and PUSH_PHRASE arg rewrite —
+        computed ONCE per registration epoch, not per match_batch call."""
         if self._device_state is not None:
             return self._device_state
         n = len(self._queries)
         max_ops = max((len(q.code) for q in self._queries if q), default=1)
-        max_ph = max(
-            (len(q.phrase_terms) for q in self._queries if q), default=0
-        )
         ops = np.zeros((n, max_ops, 2), np.int32)
+        ph_index: Dict[Tuple[str, ...], int] = {}
+        uniq_phrases: List[Tuple[str, ...]] = []
         for qi, q in enumerate(self._queries):
             if q is None:
                 ops[qi, 0] = (OP_PUSH_FALSE, 0)
@@ -165,9 +166,16 @@ class Percolator:
             for i, (op, arg) in enumerate(q.code):
                 if op == OP_PUSH_TERM:
                     arg = q.term_slots[arg]  # global term id
+                elif op == OP_PUSH_PHRASE:
+                    terms = q.phrase_terms[arg]
+                    pid = ph_index.get(terms)
+                    if pid is None:
+                        pid = len(uniq_phrases)
+                        ph_index[terms] = pid
+                        uniq_phrases.append(terms)
+                    arg = pid
                 ops[qi, i] = (op, arg)
-        # phrase table: (query, local phrase id) -> member global term ids
-        self._device_state = (ops, max_ph)
+        self._device_state = (ops, tuple(uniq_phrases))
         return self._device_state
 
     # -------------------------------------------------------------- match
@@ -185,54 +193,69 @@ class Percolator:
     ) -> np.ndarray:
         """Batch documents x registered queries -> bool (n_docs, n_queries).
 
-        Incidence construction is host-side (documents stream in from the
-        host anyway); the boolean program evaluation is one jitted device
-        scan over all queries and documents.
+        Incidence construction is host-side but fully vectorized: one
+        np.unique interning pass builds the (doc, term) incidence, and
+        phrase incidence is a sorted-key membership test over packed
+        (doc, term, position) keys — all phrase occurrences across all docs
+        verify in one searchsorted per member (replacing the per-(doc,
+        phrase) Python adjacency loops). The boolean program evaluation is
+        one jitted device scan over all queries and documents.
         """
-        ops, _ = self._pack()
+        ops, uniq_phrases = self._pack()
         n_docs = len(docs)
         n_terms = max(1, len(self._vocab))
+        docs = [list(toks) for toks in docs]
+        lens = np.array([len(t) for t in docs], np.int64)
+        flat = [t for toks in docs for t in toks]
         incidence = np.zeros((n_docs, n_terms), bool)
-        positions: List[Dict[str, List[int]]] = []
-        for di, toks in enumerate(docs):
-            pos: Dict[str, List[int]] = {}
-            for i, t in enumerate(toks):
-                pos.setdefault(t, []).append(first_pos + i)
-                tid = self._vocab.get(t)
-                if tid is not None:
-                    incidence[di, tid] = True
-            positions.append(pos)
-        # phrase incidence per (doc, query-phrase): host adjacency test
-        ph_rows = []
-        for q in self._queries:
-            if not q:
-                continue
-            for terms in q.phrase_terms:
-                ph_rows.append(terms)
-        # map phrase occurrences back to per-query arg ids
-        ph_index: Dict[Tuple[str, ...], int] = {}
-        uniq_phrases: List[Tuple[str, ...]] = []
-        for terms in ph_rows:
-            if terms not in ph_index:
-                ph_index[terms] = len(uniq_phrases)
-                uniq_phrases.append(terms)
         ph_inc = np.zeros((n_docs, max(1, len(uniq_phrases))), bool)
-        for pi, terms in enumerate(uniq_phrases):
-            for di in range(n_docs):
-                ph_inc[di, pi] = _phrase_match(positions[di], terms)
-        # rewrite PUSH_PHRASE args to unique-phrase ids
-        ops = ops.copy()
-        for qi, q in enumerate(self._queries):
-            if not q:
-                continue
-            k = 0
-            for i, (op, arg) in enumerate(q.code):
-                if op == OP_PUSH_PHRASE:
-                    ops[qi, i, 1] = ph_index[q.phrase_terms[arg]]
-                    k += 1
-        return np.asarray(
-            _eval_programs(ops, incidence, ph_inc)
-        )
+        if flat:
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            bounds = np.zeros(n_docs + 1, np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            pos_of = (
+                np.arange(len(flat), dtype=np.int64)
+                - np.repeat(bounds[:-1], lens)
+                + first_pos
+            )
+            uniq, inv = np.unique(
+                np.asarray(flat, dtype=object), return_inverse=True
+            )
+            tid_of_uniq = np.array(
+                [self._vocab.get(t, -1) for t in uniq.tolist()], np.int64
+            )
+            tid_of = tid_of_uniq[inv]
+            keep = tid_of >= 0
+            incidence[doc_of[keep], tid_of[keep]] = True
+            if uniq_phrases:
+                # packed keys: doc (22 bits) | term (21) | position (21)
+                if (
+                    n_docs >= (1 << 22)
+                    or n_terms >= (1 << 21)
+                    or (first_pos + int(lens.max(initial=0))) >= (1 << 21)
+                ):
+                    raise ValueError(
+                        "percolator batch exceeds packed-key bounds "
+                        "(docs < 2^22, terms < 2^21, positions < 2^21)"
+                    )
+                d_k, t_k, p_k = doc_of[keep], tid_of[keep], pos_of[keep]
+                keys = np.sort((d_k << 42) | (t_k << 21) | p_k)
+                if not len(keys):
+                    uniq_phrases = ()
+                for pi, terms in enumerate(uniq_phrases):
+                    tids = [self._vocab.get(t, -1) for t in terms]
+                    if any(t < 0 for t in tids):
+                        continue  # a member never registered -> no match
+                    sel = t_k == tids[0]
+                    d0, p0 = d_k[sel], p_k[sel]
+                    ok = np.ones(len(d0), bool)
+                    for i in range(1, len(terms)):
+                        tk = (d0 << 42) | (tids[i] << 21) | (p0 + i)
+                        idx = np.searchsorted(keys, tk)
+                        idx_c = np.minimum(idx, len(keys) - 1)
+                        ok &= keys[idx_c] == tk
+                    ph_inc[d0[ok], pi] = True
+        return np.asarray(_eval_programs(ops, incidence, ph_inc))
 
     def match_ids_for_corpus(self, docs):
         """Convenience for tests: {qid: [doc indices]}."""
