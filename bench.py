@@ -19,6 +19,14 @@ DisjunctionSome spends >35% of runtime in heap ops (docset_iterators.h:58).
 Hot queries here touch ~1M postings; at the reference's SIMD-PFor decode
 rates (~200-400 M postings/s/core) decode alone is 3-5 ms/query, so a
 realistic single-core mixed-workload estimate is ~150 QPS.
+
+SENSITIVITY: the estimate spans roughly 100-250 QPS depending on assumed
+decode rate and heap overhead — the reference's own numbers imply 8-21
+QPS for pure hot disjunctions (128 ms/query) and a few hundred QPS for
+cheap conjunctions, and the 40/30/20/10 AND/OR/NOT/phrase mix weights the
+middle. At the optimistic extreme (250 QPS), a reported vs_baseline of R
+deflates to R * 150/250 = 0.6R; at the pessimistic extreme (100), it
+inflates to 1.5R. The measured QPS value itself is assumption-free.
 """
 
 import json
@@ -37,7 +45,27 @@ VOCAB = 20_000
 SEED = 1234
 
 
-def build_corpus():
+def build_corpus(cache_dir: str = "/tmp/trinity_bench_seg"):
+    """Build (or reload) the bench corpus. The segment is persisted after
+    the first build — SegmentData.persist/load is the framework's own
+    checkpoint format, so later bench/profiling runs skip the ~90 s
+    synthetic build and also exercise the packed-terms load path."""
+    import os
+
+    from trinity_tpu.index.format import SegmentData
+
+    tag = os.path.join(cache_dir, f"{N_DOCS}-{VOCAB}-{SEED}")
+    if os.path.exists(os.path.join(tag, "id")):
+        return SegmentData.load(tag)
+    seg = _build_corpus_fresh()
+    try:
+        seg.persist(tag)
+    except OSError:
+        pass  # cache is best-effort
+    return seg
+
+
+def _build_corpus_fresh():
     from trinity_tpu.index.builder import SegmentIndexSession
 
     rng = np.random.default_rng(SEED)

@@ -74,7 +74,7 @@ def main():
     csj, cnj, wtsj = jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(wts)
     nd = np.int32(seg.n_docs)
 
-    def serialized(label, fn, dep_of, n=6):
+    def serialized(label, fn, dep_of, n=4):
         """fn(cs) -> out; dep_of(out) -> i32 scalar 0. Reports per-iter."""
 
         @functools.partial(jax.jit, static_argnames=("m",))
@@ -96,10 +96,16 @@ def main():
         b = time.perf_counter() - t1
         log(f"{label}: {1e3*(b-a)/(n-1):.2f}ms/iter (1-call {a*1e3:.1f}ms)")
 
+    section = sys.argv[1] if len(sys.argv) > 1 else "bool"
     kw = dict(
         tape=tape, scorer_name="bm25", n_windows=W, n_terms=T, batch=B,
         interpret=False,
     )
+    if section != "bool":
+        _phrase_section(
+            jax, jnp, lax, seg, ex, W, T, queries, log, functools, np,
+        )
+        return
 
     # 1. fused kernel alone
     serialized(
@@ -155,6 +161,16 @@ def main():
         old,
         lambda out: (out[0][0, 0] > 1e30).astype(jnp.int32),
     )
+
+    log("SERIALIZED PROFILE DONE")
+    return
+
+
+def _phrase_section(jax, jnp, lax, seg, ex, W, T, queries, log, functools, np):
+    import time
+    from trinity_tpu.ops.postings import compute_cells, materialize_freq_tiles
+    from trinity_tpu.plan.compile import compile_plan
+    from trinity_tpu.query.parser import parse_query
 
     # 5. phrase pieces: stage1 with offsets at phrase shape (B=12, T=2)
     Bp = 12
