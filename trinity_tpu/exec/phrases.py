@@ -30,6 +30,12 @@ import numpy as np
 # Members whose segment-wide max freq exceeds the last rung fall back to the
 # host pass (stopword-grade terms inside a phrase; rare and still correct).
 FCAP_LADDER = (8, 64, 512)
+TILE_LANES = 128  # positions-stream group width (plane matrix lane count)
+
+
+def _lanes_used(fcap: int) -> int:
+    """Trimmed decode width for a member run (see _decode_member_lanes)."""
+    return -(-(TILE_LANES - 1 + fcap) // 8) * 8
 
 
 def collect_phrases(tape) -> List[Tuple[tuple, int]]:
@@ -73,8 +79,15 @@ def _decode_member_lanes(hit_pw, hit_off, poc, pfc_m, fcap, jnp):
     consecutive word rows of the packed matrix, so the whole read is row
     gathers (measured ~170x faster than flat element gathers on v5e) plus
     a vectorized contiguous-bit-field extract over all 128 lanes — the
-    same trick as utils/bitpack.py:unpack_value_groups, batched."""
+    same trick as utils/bitpack.py:unpack_value_groups, batched.
+
+    The returned lane axis is trimmed to lanes a run can actually occupy:
+    lo = o & 127 <= 127 and f <= fcap bound the run to the first
+    127 + fcap lanes, so everything past the next 8-lane boundary is
+    provably dead padding — trimming shrinks the downstream all-pairs
+    compare ~3x at fcap=8 ((144/256)^2)."""
     ng = (fcap + 126) // 128 + 1
+    lmax = _lanes_used(fcap)  # 144 / 192 / 640
     G = hit_off.shape[0] - 1  # groups in the stream
     R = hit_pw.shape[0]  # word rows incl. guard
     g0 = jnp.clip(poc >> 7, 0, max(0, G - 1))  # (c,)
@@ -97,8 +110,8 @@ def _decode_member_lanes(hit_pw, hit_off, poc, pfc_m, fcap, jnp):
         ((jnp.uint32(1) << b) - jnp.uint32(1))[..., None]
     )
     c = poc.shape[0]
-    vals = vals.astype(jnp.int32).reshape(c, ng * 128)
-    lane = jnp.arange(ng * 128, dtype=jnp.int32)[None, :]
+    vals = vals.astype(jnp.int32).reshape(c, ng * 128)[:, :lmax]
+    lane = jnp.arange(lmax, dtype=jnp.int32)[None, :]
     lo = (poc & 127)[:, None]
     run = (lane >= lo) & (lane < lo + pfc_m[:, None])
     return vals, run
@@ -121,7 +134,10 @@ def verify_phrases_device(
     group count is static and never truncates a run). Adjacency is an
     all-pairs compare in the decoded lane domain under run masks — no
     element gathers anywhere. Candidates chunk through lax.map when the
-    compare volume would exceed chunk_budget elements."""
+    compare volume would exceed chunk_budget elements; chunks whose slots
+    are ALL invalid (candidate arrays are sized for the worst query in the
+    batch — the typical query fills a small docid-ordered prefix) skip the
+    decode+compare entirely via lax.cond."""
     import jax
     import jax.numpy as jnp
 
@@ -131,9 +147,9 @@ def verify_phrases_device(
     n = int(np.prod(lead))
     pf2 = freqs.reshape(n, k)
     po2 = offs.reshape(n, k)
+    v2 = valid.reshape(n)
 
-    def one_chunk(args):
-        pfc, poc = args  # (c, K)
+    def live_chunk(pfc, poc):
         start, ok = _decode_member_lanes(
             hit_pw, hit_off, poc[:, 0], pfc[:, 0], fcaps[0], jnp
         )
@@ -148,17 +164,25 @@ def verify_phrases_device(
             ok = ok & hit
         return ok.sum(axis=1).astype(jnp.int32)
 
-    lanes = [((f + 126) // 128 + 1) * 128 for f in fcaps]
-    vol = lanes[0] * max(lanes[1:])
+    def one_chunk(args):
+        pfc, poc, vld = args  # (c, K), (c, K), (c,)
+        return jax.lax.cond(
+            vld.any(),
+            lambda: live_chunk(pfc, poc),
+            lambda: jnp.zeros(pfc.shape[:1], jnp.int32),
+        )
+
+    vol = _lanes_used(fcaps[0]) * max(_lanes_used(f) for f in fcaps[1:])
     chunk = max(128, chunk_budget // max(1, vol))
     if chunk >= n:
-        out = one_chunk((pf2, po2))
+        out = live_chunk(pf2, po2)
     else:
         nc = -(-n // chunk)
         pad = nc * chunk - n
         pf3 = jnp.pad(pf2, ((0, pad), (0, 0))).reshape(nc, chunk, k)
         po3 = jnp.pad(po2, ((0, pad), (0, 0))).reshape(nc, chunk, k)
-        out = jax.lax.map(one_chunk, (pf3, po3)).reshape(-1)[:n]
+        v3 = jnp.pad(v2, (0, pad)).reshape(nc, chunk)
+        out = jax.lax.map(one_chunk, (pf3, po3, v3)).reshape(-1)[:n]
     return jnp.where(valid, out.reshape(lead), 0)
 
 

@@ -128,7 +128,19 @@ def eval_tape_tiles(tape, tiles, wsel, scorer_cls):
     raise ValueError(kind)
 
 
-def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted):
+def _qgroup(B: int, interpret: bool = False) -> int:
+    """Queries decoded per grid step: all batch buckets >= 4 are divisible
+    by 4. Larger groups amortize the per-cell DMA fixed cost (~3.3 us
+    measured) across one pipelined wave of QG*U copies. Interpret mode
+    caps at 2 (see ops/postings.py:_tgroup — XLA:CPU segfaults compiling
+    the large unrolled emulation)."""
+    for qg in ((2, 1) if interpret else (4, 2, 1)):
+        if B % qg == 0:
+            return qg
+    return 1
+
+
+def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG):
     scorer_cls = SIMILARITIES[scorer_name]
     U = len(used)
 
@@ -141,43 +153,49 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted):
             del_ref = None
         out_ref, rmax_ref, tiles_s, metas_s, rowss_s, sems = rest
         w = pl.program_id(0)
-        b = pl.program_id(1)
+        bg = pl.program_id(1)
         wbase = wbase_ref[w] * WINDOW_SIZE
-        # software-pipelined decode of all used slots: every meta DMA goes
-        # into flight before any is awaited, then every planes DMA — the
-        # per-decode serialized DMA round trips were the kernel's dominant
-        # cost (~3.3 us/decode measured vs ~0.15 us/block of actual decode)
+        # software-pipelined decode of ALL QG queries' used slots in one
+        # schedule: every meta DMA goes into flight before any is awaited,
+        # then every planes DMA — the per-decode serialized DMA round
+        # trips were the kernel's dominant cost (~3.3 us/decode fixed vs
+        # ~0.15 us/block of actual decode), so batching QG queries per
+        # grid step divides that fixed cost by QG.
         cells = [
-            (cs_ref[w, b * T + t], cn_ref[w, b * T + t]) for t in used
+            (cs_ref[w, (bg * QG + qg) * T + t], cn_ref[w, (bg * QG + qg) * T + t])
+            for qg in range(QG)
+            for t in used
         ]
         _decode_cells_pipelined(
             bmeta_ref, planes_ref,
-            [tiles_s.at[ui] for ui in range(len(used))],
+            [tiles_s.at[ci] for ci in range(QG * U)],
             metas_s, rowss_s, sems, cells, wbase, group,
-        )
-        tiles = {t: tiles_s[ui] for ui, t in enumerate(used)}
-        mask, score = eval_tape_tiles(
-            tape, tiles, lambda i: wts_ref[b, i], scorer_cls
         )
         # local docid of tile[h, l] is h*128 + l (docid-major layout)
         lid = (
             jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) * TILE
             + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
         )
-        live = mask & (lid < nd_ref[0] - wbase)
+        in_seg = lid < nd_ref[0] - wbase
         if del_ref is not None:
-            live = live & (del_ref[0] == 0)
-        sc = jnp.where(live, score, NEG_INF)
-        out_ref[0, 0] = sc
-        # per-SUB-BLOCK maxima: the window splits into 16 sub-blocks of 8
-        # sublanes = 1024 CONTIGUOUS docids each (tile[h, l] is docid
-        # h*128+l), which makes sub-blocks valid selection units for the
-        # exact two-phase top-k (same proof as windows, 16x smaller gather
-        # domain). Stored as (16, 128) with the max broadcast across lanes.
-        sb = sc.reshape(NSUB, TILE // NSUB, TILE).max(axis=1)  # (16, 128)
-        rmax_ref[0, 0] = jnp.broadcast_to(
-            sb.max(axis=1, keepdims=True), (NSUB, TILE)
-        )
+            in_seg = in_seg & (del_ref[0] == 0)
+        for qg in range(QG):
+            b = bg * QG + qg
+            tiles = {t: tiles_s[qg * U + ui] for ui, t in enumerate(used)}
+            mask, score = eval_tape_tiles(
+                tape, tiles, lambda i: wts_ref[b, i], scorer_cls
+            )
+            sc = jnp.where(mask & in_seg, score, NEG_INF)
+            out_ref[qg, 0] = sc
+            # per-SUB-BLOCK maxima: the window splits into 16 sub-blocks
+            # of 8 sublanes = 1024 CONTIGUOUS docids each (tile[h, l] is
+            # docid h*128+l), which makes sub-blocks valid selection units
+            # for the exact two-phase top-k (same proof as windows, 16x
+            # smaller gather domain). (16, 128), max broadcast over lanes.
+            sb = sc.reshape(NSUB, TILE // NSUB, TILE).max(axis=1)
+            rmax_ref[qg, 0] = jnp.broadcast_to(
+                sb.max(axis=1, keepdims=True), (NSUB, TILE)
+            )
 
     return kernel
 
@@ -209,8 +227,9 @@ def fused_score_tiles(
     W, B, T = n_windows, batch, n_terms
     used = tape_used_slots(tape)
     group = GROUP_INTERPRET if interpret else GROUP
+    QG = _qgroup(B, interpret)
     kernel = _make_score_kernel(
-        tape, used, scorer_name, T, group, deleted is not None
+        tape, used, scorer_name, T, group, deleted is not None, QG
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -220,22 +239,23 @@ def fused_score_tiles(
         in_specs.append(
             pl.BlockSpec((1, TILE, TILE), lambda w, b, *_: (w, 0, 0))
         )
+    nc = max(1, QG * len(used))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(W, B),
+        grid=(W, B // QG),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, 1, TILE, TILE), lambda w, b, *_: (b, w, 0, 0)),
-            pl.BlockSpec((1, 1, NSUB, TILE), lambda w, b, *_: (b, w, 0, 0)),
+            pl.BlockSpec((QG, 1, TILE, TILE), lambda w, b, *_: (b, w, 0, 0)),
+            pl.BlockSpec((QG, 1, NSUB, TILE), lambda w, b, *_: (b, w, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((max(1, len(used)), TILE, TILE), jnp.float32),
+            pltpu.VMEM((nc, TILE, TILE), jnp.float32),
             pltpu.SMEM(
-                (max(1, len(used)), META_ROWS, META_PER_ROW * META_COLS),
+                (nc, META_ROWS, META_PER_ROW * META_COLS),
                 jnp.int32,
             ),
-            pltpu.VMEM((max(1, len(used)), ROWS_FIXED, TILE), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2 * max(1, len(used)),)),
+            pltpu.VMEM((nc, ROWS_FIXED, TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2 * nc,)),
         ],
     )
     wbase = jnp.arange(W, dtype=jnp.int32)

@@ -75,7 +75,20 @@ def _prefix_sum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _make_kernel(with_offsets: bool, group: int = GROUP):
+def _tgroup(T: int, interpret: bool = False) -> int:
+    """Cells decoded per stage-1 grid step (term-axis batching): one
+    pipelined DMA wave covers TG cells, dividing the per-cell DMA fixed
+    cost (~3.3 us measured) by TG. Interpret mode caps at 2: the unrolled
+    emulation HLO grows with TG and has tipped XLA:CPU's compiler into a
+    stack-overflow segfault mid-suite; 2 still covers the multi-cell
+    pipelined-DMA structure."""
+    for tg in ((2, 1) if interpret else (8, 4, 2, 1)):
+        if T % tg == 0:
+            return tg
+    return 1
+
+
+def _make_kernel(with_offsets: bool, group: int = GROUP, TG: int = 1):
     """Kernel factory: with_offsets adds a hits-offset tile output (the
     device analog of the skiplist's totalHitsSoFar addressing,
     lucene_codec.h:259-266) so phrase verification can gather each matched
@@ -84,92 +97,27 @@ def _make_kernel(with_offsets: bool, group: int = GROUP):
 
     def kernel(cell_start_ref, cell_nblocks_ref, wbase_ref, bmeta_ref, planes_ref, *rest):
         if with_offsets:
-            out_ref, off_ref, meta_s, rows_s, sems = rest
+            out_ref, off_ref, metas_s, rowss_s, sems = rest
         else:
-            (out_ref, meta_s, rows_s, sems) = rest
+            (out_ref, metas_s, rowss_s, sems) = rest
             off_ref = None
-        _freq_tiles_body(
-            cell_start_ref,
-            cell_nblocks_ref,
-            wbase_ref,
-            bmeta_ref,
-            planes_ref,
-            out_ref,
-            off_ref,
-            meta_s,
-            rows_s,
-            sems,
-            group,
+        w = pl.program_id(0)
+        tg = pl.program_id(1)
+        wbase = wbase_ref[w] * WINDOW_SIZE
+        cells = [
+            (cell_start_ref[w, tg * TG + i], cell_nblocks_ref[w, tg * TG + i])
+            for i in range(TG)
+        ]
+        _decode_cells_pipelined(
+            bmeta_ref, planes_ref,
+            [out_ref.at[0, i] for i in range(TG)],
+            metas_s, rowss_s, sems, cells, wbase, group,
+            off_refs=(
+                [off_ref.at[0, i] for i in range(TG)] if with_offsets else None
+            ),
         )
 
     return kernel
-
-
-def _freq_tiles_body(
-    # scalar prefetch
-    cell_start_ref,  # SMEM (W, T) i32
-    cell_nblocks_ref,  # SMEM (W, T) i32
-    wbase_ref,  # SMEM (W,) i32 — window index per grid row (gather support)
-    # inputs
-    bmeta_ref,  # ANY/HBM (n_meta_rows, 128) i32 — 16 blocks per row
-    planes_ref,  # ANY/HBM (R_pad, 128) u32
-    out_ref,  # VMEM (1, 1, 128, 128) f32 — freq tile
-    off_ref,  # VMEM (1, 1, 128, 128) i32 hits-offset tile, or None
-    meta_s,  # SMEM (META_ROWS, 128) i32
-    rows_s,  # VMEM (MAXROWS + 40, 128) u32
-    sems,  # DMA semaphores (2,)
-    GROUP,  # blocks per inner-loop iteration
-):
-    w = pl.program_id(0)
-    t = pl.program_id(1)
-    n = cell_nblocks_ref[w, t]
-    wbase = wbase_ref[w] * WINDOW_SIZE
-    b0 = cell_start_ref[w, t]
-    _decode_cell(
-        bmeta_ref, planes_ref, out_ref, off_ref, meta_s, rows_s, sems,
-        b0, n, wbase, GROUP,
-    )
-
-
-def _decode_cell(
-    bmeta_ref,  # ANY/HBM block metadata
-    planes_ref,  # ANY/HBM packed plane matrix
-    out_ref,  # VMEM freq-tile target (leading unit dims allowed)
-    off_ref,  # VMEM hits-offset tile target, or None
-    meta_s,  # SMEM (META_ROWS, 128) i32 scratch
-    rows_s,  # VMEM (MAXROWS + 40, 128) u32 scratch
-    sems,  # DMA semaphores (2,)
-    b0,  # i32 scalar: first block of the cell
-    n,  # i32 scalar: block count (0 = empty cell)
-    wbase,  # i32 scalar: window's first local docid
-    GROUP,  # blocks per inner-loop iteration
-):
-    """Decode one (window, term) cell into a docid-major 128x128 freq tile
-    (and optionally a hits-offset tile). Shared by the freq-tile kernel and
-    the fused score kernel (ops/fusedscore.py). Scratch is reused serially
-    across calls within one kernel invocation."""
-
-    def store(val_f32, off_i32=None):
-        out_ref[...] = val_f32.reshape(out_ref.shape)
-        if off_ref is not None and off_i32 is not None:
-            off_ref[...] = off_i32.reshape(off_ref.shape)
-
-    store(
-        jnp.zeros((TILE, TILE), jnp.float32),
-        jnp.zeros((TILE, TILE), jnp.int32) if off_ref is not None else None,
-    )
-
-    @pl.when(n > 0)
-    def _():
-        meta, _ = _start_meta_dma(bmeta_ref, meta_s, sems.at[0], b0)
-        _wait_meta_dma(bmeta_ref, meta_s, sems.at[0], b0)
-        r0 = meta(0, C_POFF) // 32
-        _start_planes_dma(planes_ref, rows_s, sems.at[1], r0)
-        _wait_planes_dma(planes_ref, rows_s, sems.at[1], r0)
-        tiles = _decode_groups(
-            meta, rows_s, r0, n, wbase, GROUP, off_ref is not None
-        )
-        store(tiles[0], tiles[1])
 
 
 def _meta_accessor(meta_s, b0):
@@ -220,13 +168,14 @@ def _wait_planes_dma(planes_ref, rows_s, sem, r0):
 
 def _decode_cells_pipelined(
     bmeta_ref, planes_ref, tile_refs, metas_s, rowss_s, sems, cells, wbase,
-    GROUP,
+    GROUP, off_refs=None,
 ):
     """Decode U cells with software-pipelined DMAs: ALL meta copies go into
     flight first, then all plane copies, then the decodes — 2 overlapped
     DMA rounds total instead of 2*U serialized round trips (the dominant
     per-decode cost; see _start_planes_dma). cells = [(b0, n), ...];
-    tile_refs[ui] receives cell ui's freq tile."""
+    tile_refs[ui] receives cell ui's freq tile (off_refs[ui], when given,
+    its hits-offset tile)."""
     metas = []
     for ui, (b0, n) in enumerate(cells):
         @pl.when(n > 0)
@@ -245,6 +194,8 @@ def _decode_cells_pipelined(
             )
     for ui, (b0, n) in enumerate(cells):
         tile_refs[ui][...] = jnp.zeros(tile_refs[ui].shape, jnp.float32)
+        if off_refs is not None:
+            off_refs[ui][...] = jnp.zeros(off_refs[ui].shape, jnp.int32)
 
         @pl.when(n > 0)
         def _(ui=ui, b0=b0, n=n):
@@ -253,9 +204,12 @@ def _decode_cells_pipelined(
                 planes_ref, rowss_s.at[ui], sems.at[2 * ui + 1], r0
             )
             tiles = _decode_groups(
-                metas[ui], rowss_s.at[ui], r0, n, wbase, GROUP, False
+                metas[ui], rowss_s.at[ui], r0, n, wbase, GROUP,
+                off_refs is not None,
             )
             tile_refs[ui][...] = tiles[0].reshape(tile_refs[ui].shape)
+            if off_refs is not None:
+                off_refs[ui][...] = tiles[1].reshape(off_refs[ui].shape)
 
 
 def _decode_groups(meta, rows_s, r0, n, wbase, GROUP, want_offsets):
@@ -430,7 +384,10 @@ def materialize_freq_tiles(
     pruned top-k path): grid row w holds window window_base[w]."""
     if window_base is None:
         window_base = jnp.arange(n_windows, dtype=jnp.int32)
-    tile_spec = pl.BlockSpec((1, 1, TILE, TILE), lambda w, t, *_: (w, t, 0, 0))
+    TG = _tgroup(n_terms, interpret)
+    tile_spec = pl.BlockSpec(
+        (1, TG, TILE, TILE), lambda w, t, *_: (w, t, 0, 0)
+    )
     tile_shape = jax.ShapeDtypeStruct(
         (n_windows, n_terms, TILE, TILE), jnp.float32
     )
@@ -445,20 +402,20 @@ def materialize_freq_tiles(
         out_shape = tile_shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_windows, n_terms),
+        grid=(n_windows, n_terms // TG),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.SMEM((META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
-            pltpu.VMEM((MAXROWS + 40, TILE), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((TG, META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
+            pltpu.VMEM((TG, MAXROWS + 40, TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2 * TG,)),
         ],
     )
     return pl.pallas_call(
-        _make_kernel(with_offsets, GROUP_INTERPRET if interpret else GROUP),
+        _make_kernel(with_offsets, GROUP_INTERPRET if interpret else GROUP, TG),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -496,15 +453,29 @@ def compute_cells(seg, term_ids) -> tuple:
     the TPU analog of skiplist seeking (lucene_codec.cpp:596-656).
 
     term_ids: list of segment term ids (-1 for unknown terms -> empty cells).
-    Returns (cell_start, cell_nblocks) i32[W, T].
-    """
+    Returns (cell_start, cell_nblocks) i32[W, T]. Per-term columns are
+    cached on the segment (they depend only on the immutable block arrays;
+    ~1 KiB per term) — hot query terms skip the searchsorted pass, which
+    dominated host planning time in batched serving."""
     W = seg.n_windows
     T = len(term_ids)
     cell_start = np.zeros((W, T), np.int32)
     cell_nblocks = np.zeros((W, T), np.int32)
+    cache = getattr(seg, "_cell_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            seg._cell_cache = cache
+        except AttributeError:
+            pass
     bounds = np.arange(W + 1, dtype=np.int64) * WINDOW_SIZE
     for ti, tid in enumerate(term_ids):
         if tid < 0:
+            continue
+        hit = cache.get(tid)
+        if hit is not None:
+            cell_start[:, ti] = hit[0]
+            cell_nblocks[:, ti] = hit[1]
             continue
         s = int(seg.term_block_start[tid])
         nb = int(seg.term_nblocks[tid])
@@ -516,6 +487,9 @@ def compute_cells(seg, term_ids) -> tuple:
         ends = np.searchsorted(fb, bounds[1:], side="left")
         nbl = np.maximum(ends - starts, 0)
         assert nbl.max(initial=0) <= MAXB, "cell block bound exceeded"
-        cell_start[:, ti] = s + starts
-        cell_nblocks[:, ti] = nbl
+        col_s = (s + starts).astype(np.int32)
+        col_n = nbl.astype(np.int32)
+        cache[tid] = (col_s, col_n)
+        cell_start[:, ti] = col_s
+        cell_nblocks[:, ti] = col_n
     return cell_start, cell_nblocks
