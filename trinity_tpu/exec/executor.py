@@ -255,6 +255,65 @@ def _build_search_fn(tape, scorer_name, W, T, k, interpret, mode):
     return jax.jit(run, static_argnames=())
 
 
+@functools.lru_cache(maxsize=512)
+def _build_batch_combined(spec, scorer_name, W, k, interpret):
+    """ALL of a batch's groups in ONE jitted program with ONE packed f32
+    output. Through the remote-device tunnel each dispatch and each fetched
+    result array pays a fixed ~11-18 ms round trip (measured: 9 result
+    leaves over 5 calls ~= 160 ms of a 198 ms batch), so the per-group
+    programs are inlined into a single pjit call and their (gv, gi[,
+    resolved]) outputs concatenate into one (sum rows, k) f32 array —
+    docids < 2^24 are f32-exact. The reference never pays a per-call cost
+    like this (in-process execution, exec.cpp:509); this is the TPU-tunnel
+    analog of its one-call-per-query model.
+
+    spec entries: ("fused", tape, T, B) | ("dense", tape, T, B) |
+    ("lazyph", slots, T, B, C2, fcaps). Row layout per group: B rows gv,
+    B rows gi, (+ B rows resolved-flag for lazyph)."""
+    jax, jnp = _lazy_jax()
+    fns = []
+    for ent in spec:
+        if ent[0] == "fused":
+            _, tape, T, B = ent
+            fns.append(_build_fused_fn(tape, scorer_name, W, T, B, k, interpret))
+        elif ent[0] == "dense":
+            _, tape, T, B = ent
+            fns.append(_build_batch_fn(tape, scorer_name, W, T, B, k, interpret))
+        else:
+            _, slots, T, B, C2, fcaps = ent
+            fns.append(
+                _build_phrase_lazy_fused(
+                    slots, W, T, B, C2, fcaps, scorer_name, k, interpret
+                )
+            )
+
+    def run(bmeta, planes, hit_pw, hit_off, n_docs, deleted_tiles,
+            deleted_flat, *flat):
+        rows = []
+        for gi_, (ent, fn) in enumerate(zip(spec, fns)):
+            cs, cn, wts = flat[3 * gi_ : 3 * gi_ + 3]
+            if ent[0] == "fused":
+                gv, gidx = fn(bmeta, planes, cs, cn, wts, n_docs, deleted_tiles)
+            elif ent[0] == "dense":
+                gv, gidx = fn(bmeta, planes, cs, cn, wts, n_docs, deleted_flat)
+            else:
+                gv, gidx, res = fn(
+                    bmeta, planes, cs, cn, hit_pw, hit_off, wts, n_docs,
+                    deleted_flat,
+                )
+            rows.append(gv)
+            rows.append(gidx.astype(jnp.float32))
+            if ent[0] == "lazyph":
+                rows.append(
+                    jnp.broadcast_to(
+                        res[:, None].astype(jnp.float32), gv.shape
+                    )
+                )
+        return jnp.concatenate(rows, axis=0)
+
+    return jax.jit(run)
+
+
 def _flat_tok_slots(tape):
     """If the tape is a flat AND/OR of tokens, return (kind, [(slot, widx)]);
     else None. The shapes block-max pruning has tight bounds for."""
@@ -938,28 +997,14 @@ class Executor:
             finally:
                 self._restore_masks(saved)
 
-        with trace("exec.prepare"):
-            prep = self._prepare(query, scorer, stats, df_of)
-        if prep is None:
-            return []
-        plan, cs, cn, weights = prep
-        seg = self.seg
-        if plan.has_phrase:
-            with trace("exec.phrase"):
-                gv, gi = self._phrase_search_dispatch(
-                    plan, cs, cn, weights, scorer, k, stats, df_of
-                )
-        else:
-            with trace("exec.device"):
-                gv, gi = self._launch_bool(plan, cs, cn, weights, k, scorer)
-        jax, _ = _lazy_jax()
-        gv, gi = jax.device_get((gv, gi))  # one transfer for both
-        out = []
-        for v, i in zip(gv, gi):
-            if v == NEG_INF:
-                break
-            out.append(SearchResult(int(seg.doc_map[i]), float(v)))
-        return out
+        # a single query is a batch of one: the combined-batch path runs
+        # ONE device dispatch with ONE packed result array, where the
+        # launch/finish path pays per-array tunnel round trips (~11-18 ms
+        # each through the remote device)
+        with trace("exec.search"):
+            return self.search_batch(
+                [query], k=k, scorer=scorer, stats=stats, df_of=df_of
+            )[0]
 
     def search_many(
         self,
@@ -1127,18 +1172,20 @@ class Executor:
         host->device round trip for the whole group)."""
         jax, jnp = _lazy_jax()
         from trinity_tpu.ops.postings import compute_cells
+        from trinity_tpu.utils.timings import trace
 
         seg = self.seg
         parsed = []
         plans = []
-        for q in queries:
-            if isinstance(q, str):
-                root, plan = _plan_for_text(q)
-            else:
-                root = q.root if isinstance(q, Query) else q
-                plan = compile_plan(root) if root is not None else None
-            parsed.append(root)
-            plans.append(plan)
+        with trace("exec.prepare"):
+            for q in queries:
+                if isinstance(q, str):
+                    root, plan = _plan_for_text(q)
+                else:
+                    root = q.root if isinstance(q, Query) else q
+                    plan = compile_plan(root) if root is not None else None
+                parsed.append(root)
+                plans.append(plan)
         model = SIMILARITIES[scorer]
         docs_cnt = stats.docs_cnt if stats else seg.stats.docs_cnt
         if df_of is None:
@@ -1162,13 +1209,21 @@ class Executor:
             order.append(("group", key))
 
         results: List[Optional[List[SearchResult]]] = [None] * len(parsed)
+        from trinity_tpu.config import get_config
+
+        buckets = get_config().batch_buckets
+        # every group of the batch folds into ONE combined device program
+        # with ONE packed output (see _build_batch_combined — per-dispatch
+        # and per-fetched-array tunnel round trips dominated batch wall
+        # time); only compound-phrase groups needing host verification run
+        # separately.
+        spec_entries = []
+        flat_inputs = []
+        group_meta = []
         pending = []
         for key, members in groups.items():
             T = _pad_T(members[0][1].n_slots)
             nw = len(members[0][1].weight_terms)
-            from trinity_tpu.config import get_config
-
-            buckets = get_config().batch_buckets
             B = (
                 next(b for b in buckets if b >= len(members))
                 if len(members) <= buckets[-1]
@@ -1186,35 +1241,56 @@ class Executor:
                     model.weight([df_of(t) for t in terms], docs_cnt)
                     for terms in plan.weight_terms
                 ]
-            used = _fused_used_slots(key)
-            if used is not None:
-                fn = _build_fused_fn(
-                    key, scorer, seg.n_windows, T, B, k, self.interpret
-                )
-                out = fn(
-                    self.bmeta, self.planes,
-                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights),
-                    np.int32(seg.n_docs), self._deleted_tiles,
-                )
-            else:
-                fn = _build_batch_fn(
-                    key, scorer, seg.n_windows, T, B, k, self.interpret
-                )
-                out = fn(
-                    self.bmeta,
-                    self.planes,
-                    jnp.asarray(cs),
-                    jnp.asarray(cn),
-                    jnp.asarray(weights),
-                    np.int32(seg.n_docs),
-                    self._deleted,
-                )
-            pending.append((members, out))
+            kind = "fused" if _fused_used_slots(key) is not None else "dense"
+            spec_entries.append((kind, key, T, B))
+            flat_inputs += [
+                jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
+            ]
+            group_meta.append((members, kind, B, None))
         for key, members in phrase_groups.items():
-            out = self._run_phrase_batch(
-                key, members, k, scorer, model, docs_cnt, df_of
+            prep = (
+                self._prep_phrase_lazy(
+                    key, members, k, scorer, model, docs_cnt, df_of
+                )
+                if key[0] == "phrase"
+                else None
             )
-            pending.append((members, out))
+            if prep is not None:
+                spec, (cs, cn, weights), ctx = prep
+                spec_entries.append(spec)
+                flat_inputs += [
+                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
+                ]
+                group_meta.append((members, "lazyph", spec[3], ctx))
+            else:
+                out = self._run_phrase_batch(
+                    key, members, k, scorer, model, docs_cnt, df_of
+                )
+                pending.append((members, out))
+        if spec_entries:
+            fn = _build_batch_combined(
+                tuple(spec_entries), scorer, seg.n_windows, k, self.interpret
+            )
+            with trace("exec.device"):
+                packed = np.asarray(
+                    jax.device_get(
+                        fn(
+                            self.bmeta, self.planes, self.hit_pw,
+                            self.hit_off, np.int32(seg.n_docs),
+                            self._deleted_tiles, self._deleted, *flat_inputs,
+                        )
+                    )
+                )
+            off = 0
+            for members, kind, B, ctx in group_meta:
+                gv = packed[off : off + B]
+                gi = packed[off + B : off + 2 * B].astype(np.int64)
+                off += 2 * B
+                if kind == "lazyph":
+                    resolved = packed[off : off + B, 0] > 0.5
+                    off += B
+                    gv, gi = self._finish_phrase_lazy(ctx, gv, gi, resolved)
+                pending.append((members, (gv, gi)))
         for members, out in pending:
             gv, gi = jax.device_get(out)
             for bi, (qi, plan) in enumerate(members):
@@ -1269,24 +1345,25 @@ class Executor:
         return seg.doc_map[local]
 
     # ------------------------------------------------------- phrase path
-    def _run_phrase_lazy_batch(self, key, members, k, scorer, model, docs_cnt, df_of):
-        """Lazy bound-ordered execution for single-phrase queries (the
-        dominant phrase shape): candidates rank on device by the phrase-score
-        upper bound (min member freq — phrase freq can't exceed it); the host
-        verifies positions in bound order and stops once the k-th verified
-        score strictly beats every remaining bound. Pulls kilobytes instead
-        of the padded (B, W, C) candidate tensors."""
+    def _prep_phrase_lazy(self, key, members, k, scorer, model, docs_cnt,
+                          df_of):
+        """First half of the fused lazy phrase path: cell tables, weights,
+        C2 sizing. Returns (spec_entry, (cs, cn, weights), ctx) when the
+        group can run as ONE device program (all member fcaps on the
+        ladder), else None — the caller then uses the host-verify path.
+        spec_entry keys _build_batch_combined; ctx feeds
+        _finish_phrase_lazy."""
         from trinity_tpu.config import get_config
-        from trinity_tpu.exec.phrases import verify_phrase_candidates
         from trinity_tpu.ops.postings import compute_cells
 
-        jax, jnp = _lazy_jax()
         seg = self.seg
         W = seg.n_windows
         plan0 = members[0][1]
         T = _pad_T(plan0.n_slots)
         slots = key[1]
-        kk = len(slots)
+        fcaps_t = self._phrase_fcaps(tuple(p for _, p in members), (slots,))
+        if fcaps_t is None or k < 1:
+            return None
         buckets = get_config().batch_buckets
         B = (
             next(b for b in buckets if b >= len(members))
@@ -1305,53 +1382,95 @@ class Executor:
                 [df_of(t) for t in plan.weight_terms[key[2]]], docs_cnt
             )
         C2 = get_config().phrase_lazy_candidates
+        # The conjunction count is bounded by the rarest member's SEGMENT
+        # df (exact, no window granularity): a C2 at least that large makes
+        # overflow impossible, and the whole candidate pipeline (selection,
+        # gathers, verify) shrinks with it.
+        total_bound = 0
+        for bi, (qi, plan) in enumerate(members):
+            dfs = []
+            for s in slots:
+                tid = seg.term_id(plan.term_texts[s])
+                dfs.append(int(seg.term_df[tid]) if tid >= 0 else 0)
+            total_bound = max(total_bound, min(dfs))
+        for c2b in (256, 512, 1024, 2048, 4096):
+            if total_bound <= c2b <= C2 and k <= c2b:
+                C2 = c2b
+                break
+        spec = ("lazyph", slots, T, B, C2, fcaps_t[0])
+        ctx = (members, T, model, docs_cnt, df_of, scorer, k)
+        return spec, (cs, cn, weights), ctx
 
-        def dense_fallback(plan):
-            """Per-query dense execution (rare: bound order unresolved)."""
-            c_s, c_n = compute_cells(
-                seg, [seg.term_id(t) for t in plan.term_texts]
-            )
-            pad = T - plan.n_slots
-            if pad:
-                c_s = np.pad(c_s, ((0, 0), (0, pad)))
-                c_n = np.pad(c_n, ((0, 0), (0, pad)))
-            wvec = np.array(
-                [
-                    model.weight([df_of(t) for t in terms], docs_cnt)
-                    for terms in plan.weight_terms
-                ],
-                np.float32,
-            )
-            return jax.device_get(
-                self._run_phrase(
-                    plan, jnp.asarray(c_s), jnp.asarray(c_n),
-                    jnp.asarray(wvec), scorer, k, "search",
-                )
-            )
+    def _dense_phrase_fallback(self, plan, T, model, docs_cnt, df_of,
+                               scorer, k):
+        """Per-query dense execution (rare: bound order unresolved)."""
+        from trinity_tpu.ops.postings import compute_cells
 
-        fcaps_t = self._phrase_fcaps(
-            tuple(p for _, p in members), (slots,)
+        jax, jnp = _lazy_jax()
+        seg = self.seg
+        c_s, c_n = compute_cells(seg, [seg.term_id(t) for t in plan.term_texts])
+        pad = T - plan.n_slots
+        if pad:
+            c_s = np.pad(c_s, ((0, 0), (0, pad)))
+            c_n = np.pad(c_n, ((0, 0), (0, pad)))
+        wvec = np.array(
+            [
+                model.weight([df_of(t) for t in terms], docs_cnt)
+                for terms in plan.weight_terms
+            ],
+            np.float32,
         )
-        if fcaps_t is not None and k >= 1:
-            # fully-fused: bound-ranked candidates verified ON DEVICE in the
-            # same program; host only reads back (gv, gi, resolved).
-            # The conjunction count is bounded by the rarest member's
-            # SEGMENT df (exact, no window granularity): a C2 at least that
-            # large makes overflow impossible, and the whole candidate
-            # pipeline (top_k, gathers, verify) shrinks with it.
-            total_bound = 0
-            for bi, (qi, plan) in enumerate(members):
-                dfs = []
-                for s in slots:
-                    tid = seg.term_id(plan.term_texts[s])
-                    dfs.append(int(seg.term_df[tid]) if tid >= 0 else 0)
-                total_bound = max(total_bound, min(dfs))
-            for c2b in (256, 512, 1024, 2048, 4096):
-                if total_bound <= c2b <= C2 and k <= c2b:
-                    C2 = c2b
-                    break
+        return jax.device_get(
+            self._run_phrase(
+                plan, jnp.asarray(c_s), jnp.asarray(c_n),
+                jnp.asarray(wvec), scorer, k, "search",
+            )
+        )
+
+    def _finish_phrase_lazy(self, ctx, gv, gi, resolved):
+        """Apply the rare dense fallbacks for unresolved queries."""
+        members, T, model, docs_cnt, df_of, scorer, k = ctx
+        out_v = gv.astype(np.float32)
+        out_i = gi.astype(np.int64)
+        for bi, (qi, plan) in enumerate(members):
+            if not resolved[bi]:
+                fv, fi = self._dense_phrase_fallback(
+                    plan, T, model, docs_cnt, df_of, scorer, k
+                )
+                nkeep = min(len(fv), k)
+                out_v[bi] = NEG_INF
+                out_v[bi, :nkeep] = fv[:nkeep]
+                out_i[bi, :nkeep] = fi[:nkeep]
+        return out_v, out_i
+
+    def _run_phrase_lazy_batch(self, key, members, k, scorer, model, docs_cnt, df_of):
+        """Lazy bound-ordered execution for single-phrase queries (the
+        dominant phrase shape): candidates rank on device by the phrase-score
+        upper bound (min member freq — phrase freq can't exceed it); the host
+        verifies positions in bound order and stops once the k-th verified
+        score strictly beats every remaining bound. Pulls kilobytes instead
+        of the padded (B, W, C) candidate tensors."""
+        from trinity_tpu.config import get_config
+        from trinity_tpu.exec.phrases import verify_phrase_candidates
+        from trinity_tpu.ops.postings import compute_cells
+
+        jax, jnp = _lazy_jax()
+        seg = self.seg
+        W = seg.n_windows
+        plan0 = members[0][1]
+        T = _pad_T(plan0.n_slots)
+        slots = key[1]
+        kk = len(slots)
+        prep = self._prep_phrase_lazy(
+            key, members, k, scorer, model, docs_cnt, df_of
+        )
+        if prep is not None:
+            # fully-fused: bound-ranked candidates verified ON DEVICE in
+            # the same program; host only reads back (gv, gi, resolved).
+            spec, (cs, cn, weights), ctx = prep
+            _, _, _, B, C2, fcaps = spec
             fn = _build_phrase_lazy_fused(
-                slots, W, T, B, C2, fcaps_t[0], scorer, k, self.interpret
+                slots, W, T, B, C2, fcaps, scorer, k, self.interpret
             )
             gv, gi, resolved = (
                 np.asarray(x)
@@ -1364,16 +1483,25 @@ class Executor:
                     )
                 )
             )
-            out_v = gv.astype(np.float32)
-            out_i = gi.astype(np.int64)
-            for bi, (qi, plan) in enumerate(members):
-                if not resolved[bi]:
-                    fv, fi = dense_fallback(plan)
-                    nkeep = min(len(fv), k)
-                    out_v[bi] = NEG_INF
-                    out_v[bi, :nkeep] = fv[:nkeep]
-                    out_i[bi, :nkeep] = fi[:nkeep]
-            return out_v, out_i
+            return self._finish_phrase_lazy(ctx, gv, gi, resolved)
+        buckets = get_config().batch_buckets
+        B = (
+            next(b for b in buckets if b >= len(members))
+            if len(members) <= buckets[-1]
+            else len(members)
+        )
+        cs = np.zeros((W, B * T), np.int32)
+        cn = np.zeros((W, B * T), np.int32)
+        weights = np.zeros(B, np.float32)
+        for bi, (qi, plan) in enumerate(members):
+            tids = [seg.term_id(t) for t in plan.term_texts]
+            c_s, c_n = compute_cells(seg, tids)
+            cs[:, bi * T : bi * T + plan.n_slots] = c_s
+            cn[:, bi * T : bi * T + plan.n_slots] = c_n
+            weights[bi] = model.weight(
+                [df_of(t) for t in plan.weight_terms[key[2]]], docs_cnt
+            )
+        C2 = get_config().phrase_lazy_candidates
 
         fn = _build_phrase_lazy_a(slots, W, T, B, C2, self.interpret)
         gids, bounds, pf, po, overflow = (
@@ -1426,7 +1554,9 @@ class Executor:
             if not resolved:
                 # bound order didn't resolve within the pulled candidates:
                 # dense fallback for this query alone (rare)
-                gv, gi = dense_fallback(plan)
+                gv, gi = self._dense_phrase_fallback(
+                    plan, T, model, docs_cnt, df_of, scorer, k
+                )
                 nkeep = min(len(gv), k)
                 out_v[bi, :nkeep] = gv[:nkeep]
                 out_i[bi, :nkeep] = gi[:nkeep]
