@@ -87,3 +87,70 @@ def test_pruned_skips_windows():
     ]
     W = ex.seg.n_windows
     assert calls[0] < W, f"no pruning happened ({calls[0]} of {W} windows)"
+
+
+def test_pruned_batch_matches_batch(big):
+    """search_pruned_batch must equal search_batch exactly — incl. repeated
+    queries, fallback shapes (NOT, phrase), and empty queries."""
+    ex, _ = big
+    qs = [
+        "t0 t1",
+        "t3 OR t9 OR t21",
+        "t0 t1",  # repeat -> same group
+        "t5 t9 t13",
+        "t0 NOT t1",  # fallback shape
+        '"t0 t1"',  # phrase fallback
+        "t1999",
+    ]
+    a = ex.search_batch(qs, k=10)
+    b = ex.search_pruned_batch(qs, k=10, chunk_windows=2)
+    for q, ra, rb in zip(qs, a, b):
+        assert [(r.doc_id, r.score) for r in ra] == [
+            (r.doc_id, r.score) for r in rb
+        ], q
+
+
+def test_pruned_batch_stops_early():
+    """The shared-order batch loop must stop before exhausting windows on a
+    skewed corpus (per-query thresholds beat the remaining bounds)."""
+    from trinity_tpu.index.builder import SegmentIndexSession
+
+    sess = SegmentIndexSession()
+    docs, dids = [], []
+    for d in range(100_000):
+        if 40_000 <= d < 40_100:
+            docs.append(["hot"] * 8 + ["warm"] * 4 + ["filler"])
+        else:
+            docs.append(["hot", "warm", "filler"] if d % 7 == 0 else ["filler"])
+        dids.append(d)
+    sess.bulk_index(dids, docs)
+    ex = Executor(sess.commit())
+
+    import trinity_tpu.exec.executor as E
+
+    calls = [0]
+    orig = E._build_pruned_batch_fn
+
+    def counting(*a, **kw):
+        fn = orig(*a, **kw)
+
+        def wrapped(*args):
+            calls[0] += 1
+            return fn(*args)
+
+        return wrapped
+
+    E._build_pruned_batch_fn = counting
+    try:
+        pruned = ex.search_pruned_batch(
+            ["hot", "warm", "hot warm"], k=10, chunk_windows=1
+        )
+    finally:
+        E._build_pruned_batch_fn = orig
+    dense = ex.search_batch(["hot", "warm", "hot warm"], k=10)
+    for ra, rb in zip(dense, pruned):
+        assert [(r.doc_id, r.score) for r in ra] == [
+            (r.doc_id, r.score) for r in rb
+        ]
+    W = ex.seg.n_windows
+    assert calls[0] < W, f"no pruning happened ({calls[0]} of {W} rounds)"

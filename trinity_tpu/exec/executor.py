@@ -377,6 +377,87 @@ def deleted_take(deleted, gid, jnp):
     return ~deleted[gid]
 
 
+def _window_upper_bounds(seg, flat, cs_h, cn_h, w_h, model, col):
+    """Per-window score upper bound for a flat AND/OR token tape, from
+    per-block max frequencies (the WAND bound, docset_iterators.h:38-60).
+    col(ti) maps a tape slot to its cs/cn column (batch layouts interleave
+    queries). Over-inclusive at window boundaries — safe for an upper
+    bound."""
+    W = cs_h.shape[0]
+    ub = np.zeros(W, np.float64)
+    for ti, widx in flat[1]:
+        c = col(ti)
+        starts = cs_h[:, c]
+        counts = cn_h[:, c]
+        has = counts > 0
+        if not has.any():
+            continue
+        mf = np.zeros(W, np.int64)
+        idx = np.flatnonzero(has)
+        red = np.maximum.reduceat(
+            np.asarray(seg.block_max_freq, np.int64),
+            starts[idx],
+        ) if len(idx) else np.zeros(0, np.int64)
+        # reduceat segments run to the next start; also include the last
+        # block of each cell (cells can overlap at window boundaries)
+        mf[idx] = np.maximum(
+            red[: len(idx)],
+            seg.block_max_freq[starts[idx] + counts[idx] - 1],
+        )
+        ub += np.where(
+            has, model.score_tile(mf.astype(np.float32), w_h[widx]), 0.0
+        )
+    if flat[0] == "and":
+        # conjunction bound: min over terms is tighter, but the sum is
+        # still a valid upper bound; windows missing any term score 0
+        present = np.ones(W, bool)
+        for ti, _ in flat[1]:
+            present &= cn_h[:, col(ti)] > 0
+        ub = np.where(present, ub, 0.0)
+    return ub
+
+
+@functools.lru_cache(maxsize=256)
+def _build_pruned_batch_fn(tape, scorer_name, M, T, B, k, interpret):
+    """Chunk evaluator for BATCHED pruned search: B same-shape queries over
+    M gathered windows in one program, packed single-array output (gv rows
+    then f32 docid rows). window_base must be ascending within the chunk so
+    the flat top_k keeps the docid-asc tie-break."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(bmeta, planes, cs, cn, window_base, weights, n_docs, deleted):
+        tiles = materialize_freq_tiles(
+            bmeta, planes, cs, cn, window_base,
+            n_windows=M, n_terms=B * T, interpret=interpret,
+        )
+        freq = tiles.reshape(M, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        wsel = lambda i: weights[:, i, None, None]
+        mask, score = _eval_tape(tape, freq, wsel, scorer_cls, jnp)
+        gid = (
+            window_base[:, None] * WINDOW_SIZE
+            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+        )  # (M, N)
+        mask = mask & (gid < n_docs)[None]
+        if deleted is not None:
+            mask = mask & deleted_take(deleted, gid, jnp)[None]
+        scores = jnp.where(mask, score, NEG_INF)  # (B, M, N)
+        gv, gidx = jax.lax.top_k(scores.reshape(B, -1), k)
+        w_of = gidx // WINDOW_SIZE
+        gdoc = (
+            jnp.take_along_axis(
+                jnp.broadcast_to(window_base[None, :], (B, M)), w_of, axis=1
+            )
+            * WINDOW_SIZE
+            + gidx % WINDOW_SIZE
+        )
+        return jnp.concatenate([gv, gdoc.astype(jnp.float32)], axis=0)
+
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=512)
 def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
     """Batched execution: B same-shape queries share ONE device program —
@@ -1083,37 +1164,9 @@ class Executor:
         cn_h = np.asarray(cn)
         model = SIMILARITIES[scorer]
         w_h = np.asarray(weights)
-        # per-window upper bound: sum of term bounds from block max freqs
-        ub = np.zeros(W, np.float64)
-        for ti, widx in flat[1]:
-            starts = cs_h[:, ti]
-            counts = cn_h[:, ti]
-            has = counts > 0
-            if not has.any():
-                continue
-            mf = np.zeros(W, np.int64)
-            idx = np.flatnonzero(has)
-            red = np.maximum.reduceat(
-                np.asarray(self.seg.block_max_freq, np.int64),
-                starts[idx],
-            ) if len(idx) else np.zeros(0, np.int64)
-            # reduceat segments run to the next start; also include the last
-            # block of each cell (cells can overlap at window boundaries)
-            mf[idx] = np.maximum(
-                red[: len(idx)],
-                self.seg.block_max_freq[starts[idx] + counts[idx] - 1],
-            )
-            ub += np.where(
-                has, model.score_tile(mf.astype(np.float32), w_h[widx]), 0.0
-            )
-        if flat[0] == "and":
-            # conjunction bound: min over terms is tighter, but the sum is
-            # still a valid upper bound; windows missing any term score 0
-            present = np.ones(W, bool)
-            for ti, _ in flat[1]:
-                present &= cn_h[:, ti] > 0
-            ub = np.where(present, ub, 0.0)
-
+        ub = _window_upper_bounds(
+            seg, flat, cs_h, cn_h, w_h, model, col=lambda ti: ti
+        )
         order = np.argsort(-ub, kind="stable").astype(np.int32)
         results_v = np.zeros(0, np.float32)
         results_i = np.zeros(0, np.int64)
@@ -1158,6 +1211,148 @@ class Executor:
         for v, i in zip(results_v[:k], results_i[:k]):
             out.append(SearchResult(int(seg.doc_map[i]), float(v)))
         return out
+
+    def search_pruned_batch(
+        self,
+        queries: Sequence,
+        k: int = 10,
+        scorer: str = "bm25",
+        chunk_windows: int = 16,
+        stats=None,
+        df_of=None,
+    ) -> List[List[SearchResult]]:
+        """Batched block-max pruned top-k: pruning composed with the batch
+        axis. Queries group by tape shape (like search_batch); each group
+        evaluates windows in ONE SHARED order — descending cross-query max
+        upper bound — in chunks, with per-query exact stop conditions
+        (theta_q strictly beats every window the group hasn't evaluated
+        yet). Queries that resolve early zero their cells in later rounds
+        so their decode work vanishes. Shapes without a tight bound (any
+        non-flat tape, phrases) fall back to search_batch. Results are
+        exact and identical to search_batch's."""
+        jax, jnp = _lazy_jax()
+        from trinity_tpu.config import get_config
+        from trinity_tpu.ops.postings import compute_cells
+
+        seg = self.seg
+        W = seg.n_windows
+        model = SIMILARITIES[scorer]
+        docs_cnt = stats.docs_cnt if stats else seg.stats.docs_cnt
+        if df_of is None:
+            df_of = lambda t: (
+                int(seg.term_df[seg.term_id(t)]) if seg.term_id(t) >= 0 else 0
+            )
+        parsed = []
+        for q in queries:
+            if isinstance(q, str):
+                root, plan = _plan_for_text(q)
+            else:
+                root = q.root if isinstance(q, Query) else q
+                plan = compile_plan(root) if root is not None else None
+            parsed.append(plan)
+        groups: dict = {}
+        fallback_idx = []
+        for qi, plan in enumerate(parsed):
+            if plan is None:
+                continue
+            if plan.has_phrase or _flat_tok_slots(plan.tape) is None:
+                fallback_idx.append(qi)
+                continue
+            groups.setdefault(plan.tape, []).append((qi, plan))
+        results: List[Optional[List[SearchResult]]] = [None] * len(parsed)
+        if fallback_idx:
+            fb = self.search_batch(
+                [queries[qi] for qi in fallback_idx], k, scorer, stats, df_of
+            )
+            for qi, res in zip(fallback_idx, fb):
+                results[qi] = res
+        buckets = get_config().batch_buckets
+        for key, members in groups.items():
+            flat = _flat_tok_slots(key)
+            T = _pad_T(members[0][1].n_slots)
+            nw = len(members[0][1].weight_terms)
+            B = (
+                next(b for b in buckets if b >= len(members))
+                if len(members) <= buckets[-1]
+                else len(members)
+            )
+            nb = len(members)
+            cs = np.zeros((W, B * T), np.int32)
+            cn = np.zeros((W, B * T), np.int32)
+            weights = np.zeros((B, nw), np.float32)
+            ub = np.zeros((B, W), np.float64)
+            for bi, (qi, plan) in enumerate(members):
+                tids = [seg.term_id(t) for t in plan.term_texts]
+                c_s, c_n = compute_cells(seg, tids)
+                cs[:, bi * T : bi * T + plan.n_slots] = c_s
+                cn[:, bi * T : bi * T + plan.n_slots] = c_n
+                weights[bi] = [
+                    model.weight([df_of(t) for t in terms], docs_cnt)
+                    for terms in plan.weight_terms
+                ]
+                ub[bi] = _window_upper_bounds(
+                    seg, flat, cs, cn, weights[bi], model,
+                    col=lambda ti, b=bi: b * T + ti,
+                )
+            order = np.argsort(-ub.max(axis=0), kind="stable").astype(np.int32)
+            fn = _build_pruned_batch_fn(
+                key, scorer, chunk_windows, T, B, k, self.interpret
+            )
+            acc_v = [np.zeros(0, np.float32) for _ in range(B)]
+            acc_i = [np.zeros(0, np.int64) for _ in range(B)]
+            resolved = np.zeros(B, bool)
+            resolved[nb:] = True  # padding lanes
+            for c0 in range(0, W, chunk_windows):
+                if resolved.all():
+                    break
+                rest = order[c0:]
+                for bi in range(nb):
+                    if resolved[bi] or len(acc_v[bi]) < k:
+                        continue
+                    if ub[bi, rest].max(initial=0.0) < acc_v[bi][k - 1]:
+                        resolved[bi] = True  # strict: ties could still win
+                if resolved.all():
+                    break
+                sel = order[c0 : c0 + chunk_windows]
+                pad = chunk_windows - len(sel)
+                # pad with a window FROM THIS CHUNK (a window outside it may
+                # have been evaluated already — re-evaluating would duplicate
+                # its docs); ascending sort: flat index order = docid order
+                selp = np.sort(np.pad(sel, (0, pad), mode="edge"))
+                csel = cs[selp]
+                nsel = cn[selp].copy()
+                if pad:
+                    dup = np.zeros(len(selp), bool)
+                    dup[1:] = selp[1:] == selp[:-1]
+                    nsel[dup] = 0  # each duplicated window decodes once
+                for bi in np.flatnonzero(resolved[:nb]):
+                    nsel[:, bi * T : (bi + 1) * T] = 0
+                packed = np.asarray(
+                    jax.device_get(
+                        fn(
+                            self.bmeta, self.planes,
+                            jnp.asarray(csel), jnp.asarray(nsel),
+                            jnp.asarray(selp), jnp.asarray(weights),
+                            np.int32(seg.n_docs), self._deleted,
+                        )
+                    )
+                )
+                gv, gi = packed[:B], packed[B:].astype(np.int64)
+                for bi in range(nb):
+                    if resolved[bi]:
+                        continue
+                    keep = gv[bi] > NEG_INF
+                    acc_v[bi] = np.concatenate([acc_v[bi], gv[bi][keep]])
+                    acc_i[bi] = np.concatenate([acc_i[bi], gi[bi][keep]])
+                    o = np.lexsort((acc_i[bi], -acc_v[bi]))
+                    acc_v[bi] = acc_v[bi][o][: 2 * k]
+                    acc_i[bi] = acc_i[bi][o][: 2 * k]
+            for bi, (qi, plan) in enumerate(members):
+                results[qi] = [
+                    SearchResult(int(seg.doc_map[i]), float(v))
+                    for v, i in zip(acc_v[bi][:k], acc_i[bi][:k])
+                ]
+        return [r if r is not None else [] for r in results]
 
     def search_batch(
         self,
