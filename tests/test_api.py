@@ -66,3 +66,32 @@ def test_bulk_vs_incremental_equivalence():
     assert a.terms == b.terms
     np.testing.assert_array_equal(a.planes, b.planes)
     np.testing.assert_array_equal(a.positions, b.positions)
+
+
+def test_metrics_registry():
+    """Serving metrics (§5.5): counters + latency quantiles accumulate
+    across searches and fold in the phase tracer."""
+    from trinity_tpu import Executor, get_metrics
+
+    m = get_metrics()
+    m.reset()
+    ex = Executor(small_seg())
+    ex.search_batch(["red apple", "green OR car"], k=5)
+    snap = m.snapshot()
+    assert snap["search.queries"]["value"] >= 2
+    lat = snap["search.batch_latency"]
+    assert lat["count"] >= 1 and lat["p99_us"] >= lat["p50_us"] > 0
+    assert any(k.startswith("trace.") for k in snap)
+
+
+def test_metrics_histogram_quantiles():
+    from trinity_tpu.utils.metrics import Histogram
+
+    h = Histogram()
+    for v in range(1, 1001):
+        h.observe(float(v))
+    s = h.summary()
+    assert s["count"] == 1000
+    assert 450 <= s["p50_us"] <= 560  # ~4% bucket resolution
+    assert 940 <= s["p99_us"] <= 1080
+    assert s["min_us"] == 1.0 and s["max_us"] == 1000.0

@@ -39,6 +39,7 @@ from trinity_tpu.index.source import IndexSource, IndexSourcesCollection
 from trinity_tpu.percolator import Percolator
 from trinity_tpu.query.parser import ParserFlags, Query, parse_query
 from trinity_tpu.query.rewrite import Alternative, rewrite_query
+from trinity_tpu.utils.metrics import get_metrics
 
 __version__ = "0.1.0"
 
@@ -77,6 +78,7 @@ __all__ = [
     "Alternative",
     "rewrite_query",
     "exec_query",
+    "get_metrics",
     "exec_rich",
     "AbortSearch",
     "MatchedDocument",

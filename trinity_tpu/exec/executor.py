@@ -1327,6 +1327,9 @@ class Executor:
                     nsel[dup] = 0  # each duplicated window decodes once
                 for bi in np.flatnonzero(resolved[:nb]):
                     nsel[:, bi * T : (bi + 1) * T] = 0
+                from trinity_tpu.utils.metrics import get_metrics
+
+                get_metrics().count("pruned.rounds")
                 packed = np.asarray(
                     jax.device_get(
                         fn(
@@ -1366,9 +1369,15 @@ class Executor:
         batch bucket, and each group runs as ONE device program (one
         host->device round trip for the whole group)."""
         jax, jnp = _lazy_jax()
+        import time as _time
+
         from trinity_tpu.ops.postings import compute_cells
+        from trinity_tpu.utils.metrics import get_metrics
         from trinity_tpu.utils.timings import trace
 
+        _t0 = _time.perf_counter()
+        _m = get_metrics()
+        _m.count("search.queries", len(queries))
         seg = self.seg
         parsed = []
         plans = []
@@ -1495,6 +1504,9 @@ class Executor:
                         break
                     res.append(SearchResult(int(seg.doc_map[i]), float(v)))
                 results[qi] = res
+        _m.observe_us(
+            "search.batch_latency", (_time.perf_counter() - _t0) * 1e6
+        )
         return [r if r is not None else [] for r in results]
 
     def match_ids(self, query, scorer: str = "trivial", doc_set=None) -> np.ndarray:
@@ -1624,11 +1636,14 @@ class Executor:
 
     def _finish_phrase_lazy(self, ctx, gv, gi, resolved):
         """Apply the rare dense fallbacks for unresolved queries."""
+        from trinity_tpu.utils.metrics import get_metrics
+
         members, T, model, docs_cnt, df_of, scorer, k = ctx
         out_v = gv.astype(np.float32)
         out_i = gi.astype(np.int64)
         for bi, (qi, plan) in enumerate(members):
             if not resolved[bi]:
+                get_metrics().count("phrase.dense_fallback")
                 fv, fi = self._dense_phrase_fallback(
                     plan, T, model, docs_cnt, df_of, scorer, k
                 )
