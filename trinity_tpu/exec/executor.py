@@ -1095,39 +1095,15 @@ class Executor:
         stats=None,
         df_of=None,
     ) -> List[List[SearchResult]]:
-        """Pipelined multi-query execution: all device programs are issued
-        asynchronously before any result is awaited, hiding host<->device
-        latency (the serving-loop analog of the reference's per-source
-        std::async fan-out, exec.h:132-154 — but over the query axis)."""
-        jax, _ = _lazy_jax()
-        seg = self.seg
-        pending = []
-        for query in queries:
-            prep = self._prepare(query, scorer, stats, df_of)
-            if prep is None:
-                pending.append(None)
-                continue
-            plan, cs, cn, weights = prep
-            if plan.has_phrase:
-                gv, gi = self._phrase_search_dispatch(
-                    plan, cs, cn, weights, scorer, k, stats, df_of
-                )
-            else:
-                gv, gi = self._launch_bool(plan, cs, cn, weights, k, scorer)
-            pending.append((gv, gi))
-        out: List[List[SearchResult]] = []
-        for p in pending:
-            if p is None:
-                out.append([])
-                continue
-            gv, gi = jax.device_get(p)
-            res = []
-            for v, i in zip(gv, gi):
-                if v == NEG_INF:
-                    break
-                res.append(SearchResult(int(seg.doc_map[i]), float(v)))
-            out.append(res)
-        return out
+        """Multi-query execution (the serving-loop analog of the
+        reference's per-source std::async fan-out, exec.h:132-154 — but
+        over the query axis). Delegates to search_batch: one combined
+        device program with one packed result beats per-query async
+        dispatch through the tunnel (each dispatch/fetch pays a fixed
+        ~11-18 ms round trip). Cross-SOURCE pipelining still uses
+        launch()/finish()."""
+        return self.search_batch(queries, k=k, scorer=scorer, stats=stats,
+                                 df_of=df_of)
 
     def search_pruned(
         self,

@@ -304,8 +304,14 @@ def _decode_groups(meta, rows_s, r0, n, wbase, GROUP, want_offsets):
             epf = _prefix_sum_lanes(f1 + 1) - (f1 + 1)
             hits4 = col([meta(js[i], C_HITS) for i in range(GROUP)])
             off = jnp.where(valid, hits4 + epf, 0)  # (G,128)
-            off_hi = (off >> 12).astype(jnp.float32)
-            off_lo = (off & 4095).astype(jnp.float32)
+            # base-256 byte planes (like the freq path): four SINGLE-PASS
+            # bf16 matmuls replace two precision=HIGHEST ones (~3 MXU
+            # passes each) — every plane value <= 255 is bf16-exact, and
+            # the f32 accumulators stay < 2^8 * 128 lanes < 2^24
+            obytes = [
+                ((off >> (8 * p)) & 255).astype(jnp.float32)
+                for p in range(4)
+            ]
         # whole-group one-hot scatter: concatenate the per-block one-hot
         # and value matrices along the LANE axis and contract the G*128
         # axis with ONE matmul pair — (128, G*128) @ (G*128, 128) runs as
@@ -317,7 +323,7 @@ def _decode_groups(meta, rows_s, r0, n, wbase, GROUP, want_offsets):
         # bf16-exact.
         acc_l, acc_h = carry[0], carry[1]
         a_parts, vlo_parts, vhi_parts = [], [], []
-        olo_parts, ohi_parts = [], []
+        o_parts = [[] for _ in range(4)]
         for i in range(GROUP):
             a32 = (hi[i : i + 1, :] == iota_col).astype(jnp.float32)
             onehot_lo = lo[i : i + 1, :] == iota_col
@@ -325,12 +331,10 @@ def _decode_groups(meta, rows_s, r0, n, wbase, GROUP, want_offsets):
             vlo_parts.append(jnp.where(onehot_lo, flo[i : i + 1, :], 0.0))
             vhi_parts.append(jnp.where(onehot_lo, fhi[i : i + 1, :], 0.0))
             if want_offsets:
-                ohi_parts.append(
-                    jnp.where(onehot_lo, off_hi[i : i + 1, :], 0.0)
-                )
-                olo_parts.append(
-                    jnp.where(onehot_lo, off_lo[i : i + 1, :], 0.0)
-                )
+                for p in range(4):
+                    o_parts[p].append(
+                        jnp.where(onehot_lo, obytes[p][i : i + 1, :], 0.0)
+                    )
         a_all = jnp.concatenate(a_parts, axis=1)  # (TILE, G*TILE)
         ab_all = a_all.astype(jnp.bfloat16)
         acc_l = acc_l + nt_scatter(
@@ -343,23 +347,28 @@ def _decode_groups(meta, rows_s, r0, n, wbase, GROUP, want_offsets):
         )
         if not want_offsets:
             return (acc_l, acc_h)
-        acc_ohi = carry[2] + nt_scatter(
-            a_all, jnp.concatenate(ohi_parts, axis=1), exact=True
+        accs_o = tuple(
+            carry[2 + p]
+            + nt_scatter(
+                ab_all,
+                jnp.concatenate(o_parts[p], axis=1).astype(jnp.bfloat16),
+            )
+            for p in range(4)
         )
-        acc_olo = carry[3] + nt_scatter(
-            a_all, jnp.concatenate(olo_parts, axis=1), exact=True
-        )
-        return (acc_l, acc_h, acc_ohi, acc_olo)
+        return (acc_l, acc_h) + accs_o
 
     z = jnp.zeros((TILE, TILE), jnp.float32)
-    init = (z, z) if not want_offsets else (z, z, z, z)
+    init = (z, z) if not want_offsets else (z, z, z, z, z, z)
     carry = jax.lax.fori_loop(0, pl.cdiv(n, GROUP), group_body, init)
-    return (
-        carry[1] * 256.0 + carry[0],
-        (carry[2].astype(jnp.int32) * 4096 + carry[3].astype(jnp.int32))
-        if want_offsets
-        else None,
+    if not want_offsets:
+        return (carry[1] * 256.0 + carry[0], None)
+    off_i32 = (
+        (carry[5].astype(jnp.int32) << 24)
+        | (carry[4].astype(jnp.int32) << 16)
+        | (carry[3].astype(jnp.int32) << 8)
+        | carry[2].astype(jnp.int32)
     )
+    return (carry[1] * 256.0 + carry[0], off_i32)
 
 
 @functools.partial(
