@@ -62,3 +62,32 @@ def test_alternatives_ordering():
     # largest matching subset first
     assert alts[0][0] == ["apple", "iphone", "case"]
     assert alts[0][1] == 3
+
+
+def test_intersect_many_tokens():
+    """> 30 tokens exercises the multi-plane (uint64) mask path — the
+    reference supports up to 64 (intersect.h uint64_t masks)."""
+    from trinity_tpu.index.builder import SegmentIndexSession
+    from trinity_tpu.exec import Executor
+    from trinity_tpu.query.intersect import intersect
+
+    sess = SegmentIndexSession()
+    # doc 1 holds tokens 0..39; docs 2+4 hold evens (count 2 beats the
+    # full mask's count 1, so the subset survives dedup); doc 3's 35..39
+    # mask (count 1) is dominated by the full mask (count 1 >= 1)
+    groups = {1: range(40), 2: range(0, 40, 2), 3: range(35, 40),
+              4: range(0, 40, 2)}
+    for d, rng_ in groups.items():
+        p = sess.begin(d)
+        for i, t in enumerate(rng_):
+            p.insert(f"w{t}", i + 1)
+        sess.insert(p)
+    ex = Executor(sess.commit())
+    toks = [f"w{i}" for i in range(40)]
+    res = intersect(ex, toks)
+    full = (1 << 40) - 1
+    evens = sum(1 << i for i in range(0, 40, 2))
+    got = dict(res)
+    assert got.get(full) == 1  # doc 1
+    assert got.get(evens) == 2  # docs 2+4 (bit 34 > 30 -> 2nd plane)
+    assert sum(1 << i for i in range(35, 40)) not in got  # dominated

@@ -21,7 +21,8 @@ import numpy as np
 
 from trinity_tpu.limits import WINDOW_SIZE
 
-MAX_INTERSECT_TOKENS = 30  # bits in one i32 tile; extendable with a 2nd lane
+MAX_INTERSECT_TOKENS = 64  # reference parity (intersect.h uint64_t masks)
+_PLANE_BITS = 30  # bits per i32 mask plane (avoid the sign bit)
 
 
 @functools.lru_cache(maxsize=64)
@@ -30,6 +31,8 @@ def _build_mask_fn(W, T, interpret):
     import jax.numpy as jnp
 
     from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    nplanes = -(-T // _PLANE_BITS)
 
     def run(bmeta, planes, cell_start, cell_nblocks, n_docs):
         tiles = materialize_freq_tiles(
@@ -43,13 +46,20 @@ def _build_mask_fn(W, T, interpret):
         )
         freq = tiles.reshape(W, T, WINDOW_SIZE)
         bits = (freq > 0).astype(jnp.int32)
-        weights = (1 << jnp.arange(T, dtype=jnp.int32))[None, :, None]
-        masks = jnp.sum(bits * weights, axis=1)  # (W, WINDOW) i32 bitmasks
         gid = (
             jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
             + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
         )
-        return jnp.where(gid < n_docs, masks, 0)
+        live = gid < n_docs
+        # the reference packs up to 64 tokens into one uint64_t mask
+        # (intersect.h); i32 lanes carry 30 bits each -> up to 3 planes
+        outs = []
+        for p in range(nplanes):
+            lo, hi = p * _PLANE_BITS, min(T, (p + 1) * _PLANE_BITS)
+            w = (1 << jnp.arange(hi - lo, dtype=jnp.int32))[None, :, None]
+            masks = jnp.sum(bits[:, lo:hi] * w, axis=1)  # (W, WINDOW)
+            outs.append(jnp.where(live, masks, 0))
+        return jnp.stack(outs, axis=0)  # (nplanes, W, WINDOW)
 
     return jax.jit(run)
 
@@ -68,7 +78,7 @@ def intersect(executor, tokens: Sequence[str]) -> List[Tuple[int, int]]:
     tids = [seg.term_id(t) for t in tokens]
     cs, cn = compute_cells(seg, tids)
     fn = _build_mask_fn(seg.n_windows, len(tokens), executor.interpret)
-    masks = np.asarray(
+    planes_out = np.asarray(
         fn(
             executor.bmeta,
             executor.planes,
@@ -76,7 +86,11 @@ def intersect(executor, tokens: Sequence[str]) -> List[Tuple[int, int]]:
             jnp.asarray(cn),
             np.int32(seg.n_docs),
         )
-    ).reshape(-1)
+    ).reshape(-1, seg.n_windows * WINDOW_SIZE)
+    masks = planes_out[0].astype(np.uint64)
+    for p in range(1, planes_out.shape[0]):
+        masks |= planes_out[p].astype(np.uint64) << np.uint64(p * _PLANE_BITS)
+    # uint64 .tolist() yields non-negative Python ints (bit 63 safe)
     vals, counts = np.unique(masks[masks != 0], return_counts=True)
     pairs = sorted(zip(vals.tolist(), counts.tolist()), key=lambda p: -p[1])
     # drop dominated masks: strict subset with count <= a superset's count
