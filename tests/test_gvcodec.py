@@ -1,0 +1,92 @@
+"""gv_streams codec (the Google-codec-family alternative): primitives and
+whole-segment round-trip equivalence with the plane codec."""
+
+import numpy as np
+import pytest
+
+from trinity_tpu.index.builder import SegmentIndexSession
+from trinity_tpu.index.format import SegmentData, term_positions
+from trinity_tpu.index.gvcodec import (
+    _seg_delta,
+    _seg_undelta,
+    gv_decode,
+    gv_encode,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_gv_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    # mixed magnitudes exercise all four byte lengths
+    v = (rng.integers(0, 1 << 30, 10_001) >> rng.integers(0, 30, 10_001)).astype(
+        np.uint32
+    )
+    ctrl, data = gv_encode(v)
+    assert np.array_equal(gv_decode(ctrl, data, len(v)), v)
+    # small values pack to ~1 byte each + 2 control bits
+    small = np.arange(1000, dtype=np.uint32) % 200
+    c2, d2 = gv_encode(small)
+    assert len(d2) == 1000 and len(c2) == 250
+
+
+def test_seg_delta_roundtrip():
+    rng = np.random.default_rng(3)
+    counts = rng.integers(0, 9, 50)
+    vals = np.concatenate(
+        [np.cumsum(rng.integers(0, 100, c)) + int(rng.integers(0, 1000))
+         for c in counts]
+    ).astype(np.uint32)
+    assert np.array_equal(_seg_undelta(_seg_delta(vals, counts), counts), vals)
+
+
+def _make_seg(payloads=False):
+    rng = np.random.default_rng(11)
+    sess = SegmentIndexSession(track_payloads=payloads)
+    for d in range(1, 400):
+        toks = [f"t{int(i)}" for i in rng.integers(0, 50, rng.integers(3, 11))]
+        p = sess.begin(d * 3)  # sparse app ids exercise doc_map deltas
+        for i, t in enumerate(toks):
+            if payloads:
+                p.insert(t, i + 1, payload=d * 1000 + i)
+            else:
+                p.insert(t, i + 1)
+        sess.insert(p)
+    return sess.commit()
+
+
+@pytest.mark.parametrize("payloads", [False, True])
+def test_segment_roundtrip_gv(tmp_path, payloads):
+    seg = _make_seg(payloads)
+    pa = tmp_path / "plane"
+    pb = tmp_path / "gv"
+    seg.persist(str(pa))
+    seg.persist(str(pb), codec="gv_streams")
+    a = SegmentData.load(str(pa))
+    b = SegmentData.load(str(pb))
+    for name in SegmentData._ARRAYS:
+        assert np.array_equal(getattr(a, name), getattr(b, name)), name
+    assert a.stats.to_dict() == b.stats.to_dict()
+    assert a.max_position == b.max_position
+    if payloads:
+        assert np.array_equal(a.payloads, b.payloads)
+    # engine equivalence through the full search path
+    from trinity_tpu.exec import Executor
+
+    ea, eb = Executor(a), Executor(b)
+    for q in ["t1 t2", "t3 OR t4", '"t1 t2"', "t5 NOT t6"]:
+        ra = [(h.doc_id, h.score) for h in ea.search(q, k=10)]
+        rb = [(h.doc_id, h.score) for h in eb.search(q, k=10)]
+        assert ra == rb, q
+    # positions survive byte-for-byte
+    tid = b.term_id("t1")
+    docs = [d for d in range(3, 1200, 3)][:5]
+    for ld in range(5):
+        assert np.array_equal(
+            term_positions(a, tid, ld), term_positions(b, tid, ld)
+        )
+
+
+def test_unknown_codec_rejected(tmp_path):
+    seg = _make_seg()
+    with pytest.raises(ValueError):
+        seg.persist(str(tmp_path / "x"), codec="nope")

@@ -204,8 +204,20 @@ class SegmentData:
         "updated_ids",
     )
 
-    def persist(self, path: str) -> None:
-        """Write segment to a directory, tmp+rename (indexer.cpp:281-300)."""
+    def persist(self, path: str, codec: str = CODEC_NAME) -> None:
+        """Write segment to a directory, tmp+rename (indexer.cpp:281-300).
+
+        codec: "tpu_planes" (default — the canonical device layout dumped
+        directly) or "gv_streams" (the Google-codec-family alternative,
+        index/gvcodec.py: group-varint delta streams, rebuilt through the
+        vectorized encoder on load)."""
+        if codec != CODEC_NAME:
+            if codec != "gv_streams":
+                raise ValueError(f"unknown codec {codec!r}")
+            from trinity_tpu.index import gvcodec
+
+            gvcodec.persist(self, path)
+            return
         os.makedirs(path, exist_ok=True)
         from trinity_tpu.index.terms import pack_terms
 
@@ -245,6 +257,10 @@ class SegmentData:
         with open(os.path.join(path, "id")) as f:
             manifest = json.load(f)
         if manifest["codec"] != CODEC_NAME:
+            if manifest["codec"] == "gv_streams":
+                from trinity_tpu.index import gvcodec
+
+                return gvcodec.load(path, manifest)
             raise ValueError(f"unknown codec {manifest['codec']!r}")
         z = np.load(os.path.join(path, "index.npz"))
         kw = {name: z[name] for name in cls._ARRAYS}
