@@ -142,14 +142,22 @@ def main():
     # (exec.cpp:662-666).
     ex.warmup(queries, k=10)
     _log(f"warmup done at {time.time()-t0:.0f}s")
+    # serving-loop throughput: consecutive batches pipeline (dispatch N+1
+    # while N executes, Executor.launch_batch/finish_batch) so the
+    # per-batch host planning and tunnel round trip overlap device compute
     t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        ex.search_batch(queries, k=10)
+    reps = 5
+    h = ex.launch_batch(queries, k=10)
+    for _ in range(reps - 1):
+        nxt = ex.launch_batch(queries, k=10)
+        ex.finish_batch(h)
+        h = nxt
+    ex.finish_batch(h)
     wall = time.time() - t0
     qps = reps * len(queries) / wall
 
     # single-stream blocking latency (includes host<->device RTT)
+    ex.search(queries[0], k=10)  # settle: drain the pipelined burst
     lat = []
     for q in queries[:40]:
         t1 = time.perf_counter()

@@ -1342,8 +1342,26 @@ class Executor:
         df_of=None,
     ) -> List[List[SearchResult]]:
         """Batched execution: queries are grouped by plan shape, padded to a
-        batch bucket, and each group runs as ONE device program (one
-        host->device round trip for the whole group)."""
+        batch bucket, and the whole batch runs as ONE device program (one
+        host->device round trip). launch_batch/finish_batch expose the
+        async halves so a serving loop can pipeline consecutive batches
+        (dispatch N+1 while N executes — the per-batch tunnel round trip
+        then overlaps device compute)."""
+        return self.finish_batch(
+            self.launch_batch(queries, k, scorer, stats, df_of)
+        )
+
+    def launch_batch(
+        self,
+        queries: Sequence,
+        k: int = 10,
+        scorer: str = "bm25",
+        stats=None,
+        df_of=None,
+    ):
+        """Plan, group and DISPATCH a batch without waiting; returns an
+        opaque handle for finish_batch. The combined program is in flight
+        (or queued) when this returns."""
         jax, jnp = _lazy_jax()
         import time as _time
 
@@ -1447,20 +1465,31 @@ class Executor:
                     key, members, k, scorer, model, docs_cnt, df_of
                 )
                 pending.append((members, out))
+        packed_dev = None
         if spec_entries:
             fn = _build_batch_combined(
                 tuple(spec_entries), scorer, seg.n_windows, k, self.interpret
             )
+            packed_dev = fn(  # async dispatch — no blocking here
+                self.bmeta, self.planes, self.hit_pw,
+                self.hit_off, np.int32(seg.n_docs),
+                self._deleted_tiles, self._deleted, *flat_inputs,
+            )
+        return (packed_dev, group_meta, pending, results, _t0)
+
+    def finish_batch(self, handle) -> List[List[SearchResult]]:
+        """Block on a launch_batch handle and materialize results."""
+        jax, _ = _lazy_jax()
+        import time as _time
+
+        from trinity_tpu.utils.metrics import get_metrics
+        from trinity_tpu.utils.timings import trace
+
+        packed_dev, group_meta, pending, results, _t0 = handle
+        seg = self.seg
+        if packed_dev is not None:
             with trace("exec.device"):
-                packed = np.asarray(
-                    jax.device_get(
-                        fn(
-                            self.bmeta, self.planes, self.hit_pw,
-                            self.hit_off, np.int32(seg.n_docs),
-                            self._deleted_tiles, self._deleted, *flat_inputs,
-                        )
-                    )
-                )
+                packed = np.asarray(jax.device_get(packed_dev))
             off = 0
             for members, kind, B, ctx in group_meta:
                 gv = packed[off : off + B]
@@ -1480,7 +1509,7 @@ class Executor:
                         break
                     res.append(SearchResult(int(seg.doc_map[i]), float(v)))
                 results[qi] = res
-        _m.observe_us(
+        get_metrics().observe_us(
             "search.batch_latency", (_time.perf_counter() - _t0) * 1e6
         )
         return [r if r is not None else [] for r in results]

@@ -128,14 +128,17 @@ def eval_tape_tiles(tape, tiles, wsel, scorer_cls):
     raise ValueError(kind)
 
 
-def _qgroup(B: int, interpret: bool = False) -> int:
-    """Queries decoded per grid step: all batch buckets >= 4 are divisible
-    by 4. Larger groups amortize the per-cell DMA fixed cost (~3.3 us
-    measured) across one pipelined wave of QG*U copies. Interpret mode
-    caps at 2 (see ops/postings.py:_tgroup — XLA:CPU segfaults compiling
-    the large unrolled emulation)."""
+def _qgroup(B: int, U: int, interpret: bool = False) -> int:
+    """Queries decoded per grid step: larger groups amortize the per-cell
+    DMA fixed cost (~3.3 us measured) across one pipelined wave of QG*U
+    copies, bounded by VMEM (QG*U plane-scratch buffers of ~127 KiB each:
+    cap QG*U <= 16, ~2 MiB + tiles). Interpret mode caps at 2 (see
+    ops/postings.py:_tgroup — XLA:CPU segfaults compiling the large
+    unrolled emulation)."""
+    # QG=8 measured SLOWER than 4 at U=2 (13.1 vs 11.4 ms, AND B=48 —
+    # plane-scratch VMEM pressure); 4 is the sweet spot
     for qg in ((2, 1) if interpret else (4, 2, 1)):
-        if B % qg == 0:
+        if B % qg == 0 and qg * max(1, U) <= (4 if interpret else 16):
             return qg
     return 1
 
@@ -227,7 +230,7 @@ def fused_score_tiles(
     W, B, T = n_windows, batch, n_terms
     used = tape_used_slots(tape)
     group = GROUP_INTERPRET if interpret else GROUP
-    QG = _qgroup(B, interpret)
+    QG = _qgroup(B, len(used), interpret)
     kernel = _make_score_kernel(
         tape, used, scorer_name, T, group, deleted is not None, QG
     )
