@@ -36,9 +36,19 @@ def test_pruned_exact(big, qtext):
     ], qtext
 
 
+def test_pruned_not_shape(big):
+    """`flat NOT rhs` now prunes with the lhs bound (sound: the rhs only
+    removes matches); results stay exact."""
+    ex, _ = big
+    for q in ("t0 NOT t1", "t3 OR t9 NOT t21"):
+        assert [(r.doc_id, r.score) for r in ex.search_pruned(q, k=10)] == [
+            (r.doc_id, r.score) for r in ex.search(q, k=10)
+        ], q
+
+
 def test_pruned_fallback_on_complex(big):
     ex, _ = big
-    q = "t0 NOT t1"
+    q = '"t0 t1" OR t3'  # phrase shape -> dense fallback
     assert [(r.doc_id, r.score) for r in ex.search_pruned(q, k=10)] == [
         (r.doc_id, r.score) for r in ex.search(q, k=10)
     ]

@@ -337,6 +337,15 @@ def _flat_tok_slots(tape):
     return (kind, toks)
 
 
+def _pruned_bound_slots(tape):
+    """Tapes with a tight block-max window bound: flat AND/OR of tokens,
+    or `flat NOT anything` (the rhs only removes matches, so the lhs bound
+    stays a sound upper bound — the WAND-with-exclusions shape)."""
+    if tape[0] == "not":
+        return _flat_tok_slots(tape[1])
+    return _flat_tok_slots(tape)
+
+
 @functools.lru_cache(maxsize=256)
 def _build_pruned_fn(tape, scorer_name, M, T, k, interpret):
     """Chunk evaluator for pruned search: M gathered windows -> top-k."""
@@ -1131,7 +1140,7 @@ class Executor:
         if prep is None:
             return []
         plan, cs, cn, weights = prep
-        flat = _flat_tok_slots(plan.tape)
+        flat = _pruned_bound_slots(plan.tape)
         if flat is None or plan.has_phrase:
             return self.search(query, k, scorer, stats, df_of)
         seg = self.seg
@@ -1231,7 +1240,7 @@ class Executor:
         for qi, plan in enumerate(parsed):
             if plan is None:
                 continue
-            if plan.has_phrase or _flat_tok_slots(plan.tape) is None:
+            if plan.has_phrase or _pruned_bound_slots(plan.tape) is None:
                 fallback_idx.append(qi)
                 continue
             groups.setdefault(plan.tape, []).append((qi, plan))
@@ -1244,7 +1253,7 @@ class Executor:
                 results[qi] = res
         buckets = get_config().batch_buckets
         for key, members in groups.items():
-            flat = _flat_tok_slots(key)
+            flat = _pruned_bound_slots(key)
             T = _pad_T(members[0][1].n_slots)
             nw = len(members[0][1].weight_terms)
             B = (
