@@ -288,3 +288,50 @@ def test_bulk_index_payloads():
 
     exec_rich(Executor(seg), "a", on_match)
     assert got == {1: [7], 2: [9]}
+
+
+def test_collection_search_batch_parity():
+    """Collection search_batch == per-query collection search, with masks
+    (newer-generation shadowing) in force."""
+    import numpy as np
+    from trinity_tpu import IndexSourcesCollection, SegmentIndexSession
+
+    rng = np.random.default_rng(9)
+
+    def seg_of(docs):
+        sess = SegmentIndexSession()
+        for d, toks in docs.items():
+            p = sess.begin(d)
+            for i, t in enumerate(toks):
+                p.insert(t, i + 1)
+            sess.insert(p)
+        return sess.commit()
+
+    old = {d: [f"t{int(i)}" for i in rng.integers(0, 20, 8)] for d in range(1, 200)}
+    new = {d: [f"t{int(i)}" for i in rng.integers(0, 20, 8)] for d in range(150, 260)}
+    coll = (
+        IndexSourcesCollection()
+        .add_segment(seg_of(old), generation=1)
+        .add_segment(seg_of(new), generation=2)
+        .commit()
+    )
+    qs = ["t1 t2", "t3 OR t4", '"t1 t2"', "t5 NOT t6", "t0"]
+    batch = coll.search_batch(qs, k=10)
+    for q, hits in zip(qs, batch):
+        single = coll.search(q, k=10)
+        assert [(h.doc_id, h.score) for h in hits] == [
+            (h.doc_id, h.score) for h in single
+        ], q
+    # with UPDATE semantics, overlapping docs shadow older generations:
+    # re-index 150..199 via update() in a third segment and check gen-1/2
+    # copies never surface alongside the gen-3 copy (no duplicate doc ids)
+    sess3 = SegmentIndexSession()
+    for d in range(150, 200):
+        pr = sess3.begin(d)
+        for i, t in enumerate(["zz", "t1"], 1):
+            pr.insert(t, i)
+        sess3.update(pr)
+    coll.add_segment(sess3.commit(), generation=3).commit()
+    for hits in coll.search_batch(["t1 OR zz"], k=50):
+        ids = [h.doc_id for h in hits]
+        assert len(ids) == len(set(ids)), "duplicate doc across generations"

@@ -123,25 +123,33 @@ class IndexSourcesCollection:
     def search(self, query, k: int = 10, scorer: str = "bm25"):
         """exec_query over every source + deterministic top-k merge
         (exec.h:63-81; merging contract exec.h:55-58)."""
+        return self.search_batch([query], k=k, scorer=scorer)[0]
+
+    def search_batch(self, queries, k: int = 10, scorer: str = "bm25"):
+        """Batched collection search: every source's combined device
+        program is DISPATCHED before any is awaited (the async analog of
+        the per-source std::async fan-out, exec.h:132-154 — but each
+        source also batches all queries into one program), then per-query
+        results merge deterministically (score desc, app docid asc)."""
         if not self._committed:
             self.commit()
         stats = self.aggregated_stats()
-        # pipeline: launch every source's device program, then gather — the
-        # async analog of the per-source std::async fan-out (exec.h:132-154)
-        pendings = []
+        handles = []
         for src in self.sources:
             if src.index_empty():
                 continue
             ex = src.executor()
-            pendings.append(
-                (ex, ex.launch(query, k=k, scorer=scorer, stats=stats,
-                               df_of=self.doc_freq))
+            handles.append(
+                (ex, ex.launch_batch(queries, k=k, scorer=scorer,
+                                     stats=stats, df_of=self.doc_freq))
             )
-        results = []
-        for ex, p in pendings:
-            results.extend(ex.finish(p))
-        results.sort(key=lambda r: (-r.score, r.doc_id))
-        return results[:k]
+        per_source = [ex.finish_batch(h) for ex, h in handles]
+        out = []
+        for qi in range(len(queries)):
+            merged = [r for res in per_source for r in res[qi]]
+            merged.sort(key=lambda r: (-r.score, r.doc_id))
+            out.append(merged[:k])
+        return out
 
     def match_ids(self, query) -> np.ndarray:
         if not self._committed:
