@@ -44,7 +44,7 @@ MAXB = 136  # max blocks per cell (>= 131), multiple of 8
 MAXROWS = 208  # max packed word-rows per cell (>= ceil(131*48/32)+2)
 ROWS_FIXED = MAXROWS + 40  # one fixed-size planes DMA (8-multiple rows)
 ROW_CHUNK = 32  # plane rows per DMA chunk (16 KiB)
-GROUP = 16  # blocks decoded per inner-loop iteration (compiled path)
+GROUP = 2  # blocks decoded per inner-loop iteration (compiled path)
 GROUP_INTERPRET = 2  # smaller group for interpret-mode tests (CPU)
 # bmeta columns. Metadata of 16 blocks is packed per 128-lane row (block b ->
 # row b//16, lanes (b%16)*8 + col) so cell DMAs slice full rows — Mosaic
