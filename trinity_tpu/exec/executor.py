@@ -268,7 +268,7 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
     analog of its one-call-per-query model.
 
     spec entries: ("fused", tape, T, B) | ("dense", tape, T, B) |
-    ("lazyph", slots, T, B, C2, fcaps). Row layout per group: B rows gv,
+    ("lazyph", slots, T, B, C2, fcaps, no_overflow). Row layout: B rows gv,
     B rows gi, (+ B rows resolved-flag for lazyph)."""
     jax, jnp = _lazy_jax()
     fns = []
@@ -280,10 +280,11 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
             _, tape, T, B = ent
             fns.append(_build_batch_fn(tape, scorer_name, W, T, B, k, interpret))
         else:
-            _, slots, T, B, C2, fcaps = ent
+            _, slots, T, B, C2, fcaps, noov = ent
             fns.append(
                 _build_phrase_lazy_fused(
-                    slots, W, T, B, C2, fcaps, scorer_name, k, interpret
+                    slots, W, T, B, C2, fcaps, scorer_name, k, interpret,
+                    no_overflow=noov,
                 )
             )
 
@@ -511,7 +512,7 @@ def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
 
 @functools.lru_cache(maxsize=256)
 def _build_phrase_lazy_fused(
-    slots, W, T, B, C2, fcaps, scorer_name, k, interpret
+    slots, W, T, B, C2, fcaps, scorer_name, k, interpret, no_overflow=False
 ):
     """Fully-fused lazy phrase execution for pure-phrase tapes: ONE device
     program ranks ALL member-conjunction candidates by the phrase-score
@@ -547,7 +548,7 @@ def _build_phrase_lazy_fused(
         # order compaction (ops/select.py) — candidates land already docid-
         # sorted, so no argsort either. bound <= min(fcaps) by fcap_bucket.
         ki, valid, min_kept, overflow = bound_select_candidates(
-            bound, C2, vmax=min(fcaps)
+            bound, C2, vmax=min(fcaps), assume_no_overflow=no_overflow
         )
         pf = jnp.stack(
             [jnp.take_along_axis(f, ki, axis=1) for f in member_f], axis=-1
@@ -1618,7 +1619,11 @@ class Executor:
             if total_bound <= c2b <= C2 and k <= c2b:
                 C2 = c2b
                 break
-        spec = ("lazyph", slots, T, B, C2, fcaps_t[0])
+        # C2 >= the largest min-member-df in the group bounds every
+        # conjunction count: overflow is impossible and the selection's
+        # threshold search compiles away (ops/select.py)
+        no_overflow = total_bound <= C2
+        spec = ("lazyph", slots, T, B, C2, fcaps_t[0], no_overflow)
         ctx = (members, T, model, docs_cnt, df_of, scorer, k)
         return spec, (cs, cn, weights), ctx
 
@@ -1692,9 +1697,10 @@ class Executor:
             # fully-fused: bound-ranked candidates verified ON DEVICE in
             # the same program; host only reads back (gv, gi, resolved).
             spec, (cs, cn, weights), ctx = prep
-            _, _, _, B, C2, fcaps = spec
+            _, _, _, B, C2, fcaps, noov = spec
             fn = _build_phrase_lazy_fused(
-                slots, W, T, B, C2, fcaps, scorer, k, self.interpret
+                slots, W, T, B, C2, fcaps, scorer, k, self.interpret,
+                no_overflow=noov,
             )
             gv, gi, resolved = (
                 np.asarray(x)

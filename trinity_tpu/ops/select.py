@@ -29,8 +29,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def bound_select_candidates(bound, C2: int, vmax: int):
+def bound_select_candidates(bound, C2: int, vmax: int,
+                            assume_no_overflow: bool = False):
     """Exact top-C2 selection by (bound desc, docid asc).
+
+    assume_no_overflow: the caller PROVES candidates <= C2 (e.g. C2 >= the
+    rarest member's segment df bounds the conjunction count) — tau is 0 by
+    construction, so the threshold binary search and the eq-class quota
+    vanish and selection is pure docid-order compaction of bound > 0.
 
     bound: (B, N) int32 in [0, vmax]; 0 means non-candidate.
     Returns (ki (B, C2) i32 docids ascending, valid (B, C2) bool,
@@ -46,6 +52,11 @@ def bound_select_candidates(bound, C2: int, vmax: int):
     from jax import lax
 
     B, N = bound.shape
+
+    if assume_no_overflow:
+        ki, valid = compact_mask(bound > 0, C2)
+        z = jnp.zeros((B,), jnp.int32)
+        return ki, valid, z, z > 0
 
     # 1. binary search tau: invariant count(bound >= lo) > C2 >= count(>= hi)
     lo = jnp.zeros((B,), jnp.int32)
