@@ -885,8 +885,18 @@ class Executor:
 
     def __init__(self, seg: SegmentData, interpret: Optional[bool] = None):
         jax, jnp = _lazy_jax()
+        from trinity_tpu.limits import MAX_SEGMENT_DOCS
         from trinity_tpu.ops.postings import pack_block_meta, pad_planes
 
+        if seg.n_docs >= MAX_SEGMENT_DOCS:
+            # combined-batch and pruned-batch programs return local docids
+            # as f32 rows — exact only below 2^24 (limits.MAX_SEGMENT_DOCS).
+            # Failing here beats silently corrupting ids past 16.8M docs.
+            raise ValueError(
+                f"segment has {seg.n_docs} docs >= 2^24 "
+                "(f32-exact docid envelope, limits.MAX_SEGMENT_DOCS): "
+                "shard it across executors (parallel.mesh) instead"
+            )
         self.seg = seg
         if interpret is None:
             interpret = jax.default_backend() != "tpu"

@@ -284,6 +284,14 @@ def _build_segment(
 ) -> SegmentData:
     """Encoder replay (indexer.cpp:429-480) vectorized: grouped (term, doc)
     runs -> freqs; per-term 128-doc blocks -> bit planes."""
+    from trinity_tpu.limits import MAX_SEGMENT_DOCS
+
+    if n_docs >= MAX_SEGMENT_DOCS:
+        raise ValueError(
+            f"segment docid space {n_docs} >= 2^24: packed batch outputs "
+            "carry docids as f32 (exact only below 2^24) — shard the corpus "
+            "into multiple segments (parallel.mesh.split_segment) instead"
+        )
     n_terms = len(sorted_terms)
     total = len(tid_a)
 

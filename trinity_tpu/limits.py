@@ -30,3 +30,10 @@ MAX_BLOCK_WORDS = PLANE_WORDS * (MAX_DOC_BITS + MAX_FREQ_BITS)
 
 # Sentinel: end of postings / docs set (common.h:41-43).
 DOC_IDS_END = 0xFFFFFFFF
+
+# Per-segment (and per-MeshExecutor collection) docid-space cap. Packed batch
+# outputs carry local docids as f32 rows (executor._build_batch_combined,
+# pruned-batch, mesh batch), which is exact only below 2^24; the reference
+# serves full u32 docid spaces (common.h:28-43) — here the envelope is
+# explicit: segments at or above this must be sharded (parallel/mesh.py).
+MAX_SEGMENT_DOCS = 1 << 24

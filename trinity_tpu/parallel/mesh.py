@@ -321,6 +321,18 @@ class MeshExecutor:
         else:
             self.shards = list(seg_or_shards)
         S = len(self.shards)
+        from trinity_tpu.limits import MAX_SEGMENT_DOCS
+
+        total_docs = sum(s.n_docs for s in self.shards)
+        if total_docs >= MAX_SEGMENT_DOCS:
+            # batched mesh programs pack GLOBAL docids (shard base + local)
+            # into f32 rows — the f32-exact envelope applies to the summed
+            # docid space of all shards of one MeshExecutor
+            raise ValueError(
+                f"mesh collection spans {total_docs} docs >= 2^24 "
+                "(f32-exact docid envelope, limits.MAX_SEGMENT_DOCS): "
+                "split into multiple MeshExecutors/sources"
+            )
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()[:S]), (axis,))
         self.mesh = mesh

@@ -250,10 +250,20 @@ class Percolator:
                     d0, p0 = d_k[sel], p_k[sel]
                     ok = np.ones(len(d0), bool)
                     for i in range(1, len(terms)):
-                        tk = (d0 << 42) | (tids[i] << 21) | (p0 + i)
+                        pk = p0 + i
+                        # probes past the 21-bit position field would alias
+                        # into the term bits and could false-positive against
+                        # a real (doc, term, pos) key; no true position can
+                        # live there (the bounds check above), so mask them
+                        in_field = pk < (1 << 21)
+                        tk = (
+                            (d0 << 42)
+                            | (tids[i] << 21)
+                            | np.where(in_field, pk, 0)
+                        )
                         idx = np.searchsorted(keys, tk)
                         idx_c = np.minimum(idx, len(keys) - 1)
-                        ok &= keys[idx_c] == tk
+                        ok &= in_field & (keys[idx_c] == tk)
                     ph_inc[d0[ok], pi] = True
         return np.asarray(_eval_programs(ops, incidence, ph_inc))
 
