@@ -295,6 +295,115 @@ def _build_sharded_phrase_fn(
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=64)
+def _build_mesh_batch_combined(
+    spec, scorer_name, S, W, k, interpret, axis, mesh, with_deleted
+):
+    """The sharded twin of executor._build_batch_combined: ALL of a batch's
+    groups run per shard inside ONE shard_map program, and the per-shard
+    results concatenate into ONE packed (S, rows, k) f32 output — so a
+    whole mesh batch costs one dispatch and one fetch, exactly like the
+    single-chip combined program. Global docids (shard base + local) ride
+    f32 rows (guarded < 2^24 at MeshExecutor construction).
+
+    Row layout per group (within a shard's row block):
+      fused/dense: B rows gv, B rows global docid
+      lazyph:      B rows gv, B rows global docid, B rows resolved flag
+    The host merges shards per query (shards are docid-ordered ranges, so
+    concatenation order preserves the docid-asc tie-break under lexsort) —
+    the caller-side merge contract of exec.h:55-58 over ICI-gathered rows.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from trinity_tpu.exec.executor import (
+        _build_batch_fn,
+        _build_fused_fn,
+        _build_phrase_lazy_fused,
+    )
+    from trinity_tpu.limits import TILE
+
+    fns = []
+    for ent in spec:
+        if ent[0] == "fused":
+            _, tape, T, B = ent
+            fns.append(
+                _build_fused_fn(tape, scorer_name, W, T, B, k, interpret)
+            )
+        elif ent[0] == "dense":
+            _, tape, T, B = ent
+            fns.append(
+                _build_batch_fn(tape, scorer_name, W, T, B, k, interpret)
+            )
+        else:
+            _, slots, T, B, C2, fcaps, noov = ent
+            fns.append(
+                _build_phrase_lazy_fused(
+                    slots, W, T, B, C2, fcaps, scorer_name, k, interpret,
+                    no_overflow=noov,
+                )
+            )
+
+    def shard_body(bmeta, planes, hit_pw, hit_off, n_docs, base, deleted,
+                   *flat):
+        deleted_flat = deleted[0].reshape(-1) if deleted is not None else None
+        deleted_tiles = (
+            deleted[0].reshape(W, TILE, TILE).astype(jnp.float32)
+            if deleted is not None
+            else None
+        )
+        rows = []
+        for gi_, (ent, fn) in enumerate(zip(spec, fns)):
+            cs, cn, wts = flat[3 * gi_ : 3 * gi_ + 3]
+            if ent[0] == "fused":
+                gv, gidx = fn(
+                    bmeta[0], planes[0], cs[0], cn[0], wts, n_docs[0],
+                    deleted_tiles,
+                )
+            elif ent[0] == "dense":
+                gv, gidx = fn(
+                    bmeta[0], planes[0], cs[0], cn[0], wts, n_docs[0],
+                    deleted_flat,
+                )
+            else:
+                gv, gidx, res = fn(
+                    bmeta[0], planes[0], cs[0], cn[0], hit_pw[0], hit_off[0],
+                    wts, n_docs[0], deleted_flat,
+                )
+            rows.append(gv)
+            rows.append((gidx + base[0]).astype(jnp.float32))
+            if ent[0] == "lazyph":
+                rows.append(
+                    jnp.broadcast_to(
+                        res[:, None].astype(jnp.float32), gv.shape
+                    )
+                )
+        return jnp.concatenate(rows, axis=0)[None]
+
+    def run(bmeta, planes, hit_pw, hit_off, n_docs, base, deleted, *flat):
+        in_specs = [P(axis)] * 6
+        args = [bmeta, planes, hit_pw, hit_off, n_docs, base]
+        body = shard_body
+        if with_deleted:
+            in_specs.append(P(axis))
+            args.append(deleted)
+        else:
+            body = lambda *a: shard_body(*a[:6], None, *a[6:])
+        for _ in spec:
+            in_specs += [P(axis), P(axis), P()]  # cs, cn sharded; weights repl
+        f = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=P(axis),
+            check_vma=False,  # pallas_call inside can't declare vma yet
+        )
+        return f(*args, *flat)
+
+    return jax.jit(run)
+
+
 class MeshExecutor:
     """Sharded search session over a device mesh (the exec_query_par
     analog). Pass segments pre-sharded by docid range (split_segment) or a
@@ -568,6 +677,9 @@ class MeshExecutor:
                 break
             fcaps.append(tuple(mem))
         if not device_ok:
+            from trinity_tpu.utils.metrics import get_metrics
+
+            get_metrics().count("phrase.host_verify")
             return ("phrase_host", (root, k, scorer, stats, df_of))
         if plan.tape[0] == "phrase":
             # candidate capacity from the rarest member's df per shard
@@ -633,23 +745,9 @@ class MeshExecutor:
                 rows_v.append(sv[sh][keep])
                 rows_i.append(si[sh][keep].astype(np.int64))
             else:  # rare: candidate overflow — dense per-shard fallback
-                src = self._shard_executors()[sh]
-                masked = None
-                if self._deleted_np is not None:
-                    masked = np.flatnonzero(self._deleted_np[sh])
-                src.set_masked_local_docs(masked)
-                r = src.search(
-                    root, k=k, scorer=scorer,
-                    stats=stats or _StatsProxy(self.docs_cnt),
-                    df_of=df_of if df_of is not None else self.doc_freq,
-                )
-                rows_v.append(np.array([x.score for x in r], np.float32))
-                base = int(self._base_np[sh])
-                # translate app ids back to global local ids via the shard map
-                app2loc = {int(a): i for i, a in enumerate(
-                    self.shards[sh].doc_map)}
-                rows_i.append(np.array(
-                    [base + app2loc[x.doc_id] for x in r], np.int64))
+                fv, fi = self._densify_shard(sh, root, k, scorer, stats, df_of)
+                rows_v.append(fv)
+                rows_i.append(fi)
         av = np.concatenate(rows_v) if rows_v else np.zeros(0, np.float32)
         ai = np.concatenate(rows_i) if rows_i else np.zeros(0, np.int64)
         order = np.lexsort((ai, -av))[:k]
@@ -657,6 +755,28 @@ class MeshExecutor:
             SearchResult(int(self.doc_map[i]), float(v))
             for v, i in zip(av[order], ai[order])
         ]
+
+    def _densify_shard(self, sh, root, k, scorer, stats, df_of):
+        """Dense re-execution of one query on one shard (rare: the lazy
+        phrase program reported unresolved there). Returns (scores f32,
+        GLOBAL local docids i64) ready for the cross-shard merge."""
+        src = self._shard_executors()[sh]
+        masked = None
+        if self._deleted_np is not None:
+            masked = np.flatnonzero(self._deleted_np[sh])
+        src.set_masked_local_docs(masked)
+        r = src.search(
+            root, k=k, scorer=scorer,
+            stats=stats or _StatsProxy(self.docs_cnt),
+            df_of=df_of if df_of is not None else self.doc_freq,
+        )
+        base = int(self._base_np[sh])
+        # translate app ids back to global local ids via the shard map
+        app2loc = {int(a): i for i, a in enumerate(self.shards[sh].doc_map)}
+        return (
+            np.array([x.score for x in r], np.float32),
+            np.array([base + app2loc[x.doc_id] for x in r], np.int64),
+        )
 
     def _phrase_host_fallback(self, root, k, scorer, stats=None,
                               df_of=None):
@@ -681,8 +801,266 @@ class MeshExecutor:
         results.sort(key=lambda r: (-r.score, r.doc_id))
         return results[:k]
 
-    def search(self, query, k: int = 10, scorer: str = "bm25"):
-        return self.finish(self.launch(query, k=k, scorer=scorer), k=k)
+    def search(self, query, k: int = 10, scorer: str = "bm25",
+               stats=None, df_of=None):
+        """A single query is a batch of one: the combined sharded program
+        pays one dispatch + one fetch (exactly like Executor.search)."""
+        return self.search_batch(
+            [query], k=k, scorer=scorer, stats=stats, df_of=df_of
+        )[0]
+
+    # ---------------------------------------------------- batched execution
+    def _group_cells(self, members, T, B):
+        """Per-shard cell tables for a tape-shape group: (S, W, B*T)."""
+        from trinity_tpu.ops.postings import compute_cells
+
+        S = len(self.shards)
+        cs = np.zeros((S, self.W, B * T), np.int32)
+        cn = np.zeros((S, self.W, B * T), np.int32)
+        for si, s in enumerate(self.shards):
+            for bi, (qi, plan, root) in enumerate(members):
+                tids = [s.term_id(t) for t in plan.term_texts]
+                c_s, c_n = compute_cells(s, tids)
+                cs[si, : c_s.shape[0], bi * T : bi * T + plan.n_slots] = c_s
+                cn[si, : c_n.shape[0], bi * T : bi * T + plan.n_slots] = c_n
+        return cs, cn
+
+    def _fcaps_for(self, plans, phrase_slots):
+        """Cross-shard fcap ladder (max member freq over ALL shards), or
+        None when any member exceeds it (mirrors Executor._phrase_fcaps)."""
+        from trinity_tpu.exec.phrases import fcap_bucket
+
+        if not any(len(s.hit_group_off) >= 2 for s in self.shards):
+            return None
+        caps = []
+        for slots in phrase_slots:
+            mem = []
+            for sl in slots:
+                mf = 1
+                for plan in plans:
+                    text = plan.term_texts[sl]
+                    for shard in self.shards:
+                        tid = shard.term_id(text)
+                        if tid >= 0 and shard.term_nblocks[tid]:
+                            b0 = int(shard.term_block_start[tid])
+                            nb = int(shard.term_nblocks[tid])
+                            mf = max(
+                                mf,
+                                int(shard.block_max_freq[b0 : b0 + nb].max()),
+                            )
+                b = fcap_bucket(mf)
+                if b is None:
+                    return None
+                mem.append(b)
+            caps.append(tuple(mem))
+        return tuple(caps)
+
+    def _prep_mesh_lazyph(self, key, members, k, model, docs_cnt, df):
+        """Lazy-phrase group prep for the combined sharded program
+        (the mesh twin of Executor._prep_phrase_lazy): C2 sized from the
+        largest per-shard min-member df, fcaps from cross-shard max freqs.
+        Returns (spec_entry, (cs, cn, weights)) or None -> fallback."""
+        from trinity_tpu.config import get_config
+        from trinity_tpu.exec.executor import _pad_T
+
+        slots = key[1]
+        fcaps = self._fcaps_for([p for _, p, _ in members], (slots,))
+        if fcaps is None or k < 1:
+            return None
+        buckets = get_config().batch_buckets
+        B = (
+            next(b for b in buckets if b >= len(members))
+            if len(members) <= buckets[-1]
+            else len(members)
+        )
+        T = _pad_T(members[0][1].n_slots)
+        cs, cn = self._group_cells(members, T, B)
+        weights = np.zeros(B, np.float32)
+        for bi, (qi, plan, root) in enumerate(members):
+            weights[bi] = model.weight(
+                [df(t) for t in plan.weight_terms[key[2]]], docs_cnt
+            )
+        C2 = get_config().phrase_lazy_candidates
+        # per-shard conjunction counts are bounded by the shard-local
+        # rarest-member df; the program is uniform across shards, so size
+        # C2 to the largest such bound
+        total_bound = 0
+        for shard in self.shards:
+            for _, plan, _ in members:
+                dfs = []
+                for sl in slots:
+                    tid = shard.term_id(plan.term_texts[sl])
+                    dfs.append(int(shard.term_df[tid]) if tid >= 0 else 0)
+                total_bound = max(total_bound, min(dfs))
+        for c2b in (256, 512, 1024, 2048, 4096):
+            if total_bound <= c2b <= C2 and k <= c2b:
+                C2 = c2b
+                break
+        no_overflow = total_bound <= C2
+        spec = ("lazyph", slots, T, B, C2, fcaps[0], no_overflow)
+        return spec, (cs, cn, weights)
+
+    def launch_batch(self, queries: Sequence, k: int = 10,
+                     scorer: str = "bm25", stats=None, df_of=None):
+        """Plan, group by tape shape, and DISPATCH the whole batch as ONE
+        combined shard_map program (the sharded twin of
+        Executor.launch_batch) without waiting. Compound-phrase shapes and
+        fcap-ineligible phrase groups launch their single-query sharded
+        programs instead (still async). Returns a handle for
+        finish_batch."""
+        import jax.numpy as jnp
+
+        from trinity_tpu.config import get_config
+        from trinity_tpu.exec.executor import (
+            _fused_used_slots,
+            _pad_T,
+            _plan_for_text,
+        )
+        from trinity_tpu.utils.metrics import get_metrics
+
+        get_metrics().count("search.queries", len(queries))
+        model = SIMILARITIES[scorer]
+        docs_cnt = stats.docs_cnt if stats else self.docs_cnt
+        df = df_of if df_of is not None else self.doc_freq
+        parsed = []
+        for q in queries:
+            if isinstance(q, str):
+                root, plan = _plan_for_text(q)
+            else:
+                root = q.root if isinstance(q, Query) else q
+                plan = compile_plan(root) if root is not None else None
+            parsed.append((root, plan))
+        groups: dict = {}
+        phrase_groups: dict = {}
+        for qi, (root, plan) in enumerate(parsed):
+            if root is None:
+                continue
+            dst = phrase_groups if plan.has_phrase else groups
+            dst.setdefault(plan.tape, []).append((qi, plan, root))
+        results: List[Optional[list]] = [None] * len(parsed)
+        buckets = get_config().batch_buckets
+        spec_entries, flat_inputs, group_meta, singles = [], [], [], []
+        for key, members in groups.items():
+            T = _pad_T(members[0][1].n_slots)
+            nw = len(members[0][1].weight_terms)
+            B = (
+                next(b for b in buckets if b >= len(members))
+                if len(members) <= buckets[-1]
+                else len(members)
+            )
+            cs, cn = self._group_cells(members, T, B)
+            weights = np.zeros((B, nw), np.float32)
+            for bi, (qi, plan, root) in enumerate(members):
+                weights[bi] = [
+                    model.weight([df(t) for t in terms], docs_cnt)
+                    for terms in plan.weight_terms
+                ]
+            kind = "fused" if _fused_used_slots(key) is not None else "dense"
+            spec_entries.append((kind, key, T, B))
+            flat_inputs += [
+                jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
+            ]
+            group_meta.append((members, kind, B))
+        for key, members in phrase_groups.items():
+            prep = (
+                self._prep_mesh_lazyph(key, members, k, model, docs_cnt, df)
+                if key[0] == "phrase"
+                else None
+            )
+            if prep is not None:
+                spec, (cs, cn, weights) = prep
+                spec_entries.append(spec)
+                flat_inputs += [
+                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
+                ]
+                group_meta.append((members, "lazyph", spec[3]))
+            else:
+                for qi, plan, root in members:
+                    singles.append(
+                        (qi, self.launch(root, k=k, scorer=scorer,
+                                         stats=stats, df_of=df_of))
+                    )
+        packed_dev = None
+        if spec_entries:
+            hit_pw, hit_off = self._stacked_hits()
+            fn = _build_mesh_batch_combined(
+                tuple(spec_entries), scorer, len(self.shards), self.W, k,
+                self.interpret, self.axis, self.mesh,
+                self._deleted is not None,
+            )
+            packed_dev = fn(  # async dispatch — no blocking here
+                self.bmeta, self.planes, hit_pw, hit_off, self.n_docs,
+                self.base, self._deleted, *flat_inputs,
+            )
+        return (packed_dev, group_meta, singles, results, k, scorer, stats,
+                df_of)
+
+    def finish_batch(self, handle) -> List[list]:
+        """Block on a launch_batch handle; merge shards per query (shards
+        are docid-ordered, so the lexsort keeps the docid-asc tie-break)."""
+        import jax
+
+        from trinity_tpu.exec.executor import SearchResult
+        from trinity_tpu.utils.metrics import get_metrics
+
+        (packed_dev, group_meta, singles, results, k, scorer, stats,
+         df_of) = handle
+        S = len(self.shards)
+        if packed_dev is not None:
+            packed = np.asarray(jax.device_get(packed_dev))  # (S, R, k)
+            off = 0
+            for members, kind, B in group_meta:
+                gv = packed[:, off : off + B]
+                gd = packed[:, off + B : off + 2 * B]
+                off += 2 * B
+                res = None
+                if kind == "lazyph":
+                    res = packed[:, off : off + B, 0] > 0.5
+                    off += B
+                for bi, (qi, plan, root) in enumerate(members):
+                    rows_v, rows_i = [], []
+                    for sh in range(S):
+                        if res is None or res[sh, bi]:
+                            v = gv[sh, bi]
+                            keep = v > NEG_INF
+                            rows_v.append(v[keep].astype(np.float32))
+                            rows_i.append(gd[sh, bi][keep].astype(np.int64))
+                        else:  # rare: unresolved lazy phrase on this shard
+                            get_metrics().count("phrase.dense_fallback")
+                            fv, fi = self._densify_shard(
+                                sh, root, k, scorer, stats, df_of
+                            )
+                            rows_v.append(fv)
+                            rows_i.append(fi)
+                    av = np.concatenate(rows_v)
+                    ai = np.concatenate(rows_i)
+                    order = np.lexsort((ai, -av))[:k]
+                    results[qi] = [
+                        SearchResult(int(self.doc_map[i]), float(v))
+                        for v, i in zip(av[order], ai[order])
+                    ]
+        for qi, pend in singles:
+            results[qi] = self.finish(pend, k=k)
+        return [r if r is not None else [] for r in results]
+
+    def search_batch(self, queries: Sequence, k: int = 10,
+                     scorer: str = "bm25", stats=None, df_of=None):
+        """Batched sharded execution: ONE shard_map program for the whole
+        batch with ONE packed fetch — the mesh twin of
+        Executor.search_batch, so the batching machinery that bought the
+        single-chip throughput composes with sharding."""
+        return self.finish_batch(
+            self.launch_batch(queries, k, scorer, stats, df_of)
+        )
+
+    def warmup(self, queries, k: int = 10, scorer: str = "bm25",
+               batch: bool = True) -> None:
+        """Compile every sharded-program variant the workload touches, so
+        serving never pays a compile (exec.cpp:662-666 analog)."""
+        for q in queries:
+            self.search(q, k=k, scorer=scorer)
+        if batch:
+            self.search_batch(list(queries), k=k, scorer=scorer)
 
 
 class MeshSourcesCollection:
@@ -749,17 +1127,34 @@ class MeshSourcesCollection:
 
     # ------------------------------------------------------------ search
     def search(self, query, k: int = 10, scorer: str = "bm25"):
+        return self.search_batch([query], k=k, scorer=scorer)[0]
+
+    def search_batch(self, queries: Sequence, k: int = 10,
+                     scorer: str = "bm25"):
+        """Batched search over all generations: every source's combined
+        sharded batch program launches before any result is gathered (the
+        pipelined analog of exec_query_par's per-source futures,
+        exec.h:86-177), then results merge per query across sources."""
         if not self._committed:
             self.commit()
-        # launch all sources' sharded programs, then gather (pipelined)
         stats = _StatsProxy(self.docs_cnt)
-        pendings = [
-            (mex, mex.launch(query, k=k, scorer=scorer, stats=stats,
-                             df_of=self.doc_freq))
+        handles = [
+            (mex, mex.launch_batch(queries, k=k, scorer=scorer, stats=stats,
+                                   df_of=self.doc_freq))
             for _, mex, _ in self.sources
         ]
-        results = []
-        for mex, p in pendings:
-            results.extend(mex.finish(p, k=k))
-        results.sort(key=lambda r: (-r.score, r.doc_id))
-        return results[:k]
+        per_source = [mex.finish_batch(h) for mex, h in handles]
+        out = []
+        for qi in range(len(queries)):
+            allr = [r for rs in per_source for r in rs[qi]]
+            allr.sort(key=lambda r: (-r.score, r.doc_id))
+            out.append(allr[:k])
+        return out
+
+    def warmup(self, queries, k: int = 10, scorer: str = "bm25",
+               batch: bool = True) -> None:
+        """Compile all sources' program variants for the workload."""
+        for q in queries:
+            self.search(q, k=k, scorer=scorer)
+        if batch:
+            self.search_batch(list(queries), k=k, scorer=scorer)
