@@ -168,15 +168,25 @@ def test_verify_phrases_device_adjacency_exact():
     assert int(out0[0]) == 0
 
 
-def test_phrase_fcap_host_fallback():
-    """A phrase member whose max per-doc freq exceeds the device cap ladder
-    routes through the host verifier — parity must hold either way."""
+def test_phrase_highfreq_member_on_device():
+    """A stopword-grade phrase member (per-doc freq >> 512) verifies ON
+    DEVICE through the windowed fori path (VERDICT r2 #3; the reference
+    materializes hits for any freq, lucene_codec.cpp:767-856): fcaps
+    resolve to a large ladder rung, results match the oracle exactly, and
+    the host verifier is never entered."""
     from trinity_tpu.index.builder import SegmentIndexSession
+    from trinity_tpu.utils.metrics import get_metrics
 
     sess = SegmentIndexSession()
     corpus = OracleCorpus()
     toks_big = ["big"] * 600 + ["other", "big", "deal"]
-    docs = {1: toks_big, 2: ["big", "deal"], 3: ["other", "big", "deal", "big", "deal"]}
+    docs = {
+        1: toks_big,
+        2: ["big", "deal"],
+        3: ["other", "big", "deal", "big", "deal"],
+        # phrase match INSIDE the long run: adjacency at positions > 512
+        4: ["big"] * 580 + ["deal"] + ["big"] * 40,
+    }
     for d, toks in docs.items():
         corpus.add(d, toks)
         p = sess.begin(d)
@@ -185,17 +195,72 @@ def test_phrase_fcap_host_fallback():
         sess.insert(p)
     ex = Executor(sess.commit())
     q = parse_query('"big deal"')
-    assert ex._phrase_fcaps((None,), ()) is not None  # stream exists
     from trinity_tpu.plan.compile import compile_plan
 
     plan = compile_plan(q.root)
-    assert ex._phrase_fcaps((plan,), (tuple(plan.tape[1]),)) is None
-    got = ex.search(q, k=10, scorer="trivial")
-    want = oracle_search(corpus, q.root, k=10, scorer="trivial")
-    assert ids(got) == [d for d, _ in want]
-    np.testing.assert_allclose(
-        [r.score for r in got], [s for _, s in want], rtol=2.4e-7, atol=0
+    fc = ex._phrase_fcaps((plan,), (tuple(plan.tape[1]),))
+    assert fc is not None and max(fc[0]) == 4096, fc
+    before = (
+        get_metrics().snapshot().get("phrase.host_verify", {"value": 0})["value"]
     )
+    for scorer in ("trivial", "bm25"):
+        got = ex.search(q, k=10, scorer=scorer)
+        want = oracle_search(corpus, q.root, k=10, scorer=scorer)
+        assert ids(got) == [d for d, _ in want]
+        np.testing.assert_allclose(
+            [r.score for r in got], [s for _, s in want], rtol=2.4e-7, atol=0
+        )
+    # compound tape with the high-freq member: fused device program too
+    q2 = parse_query('deal AND "big deal"')
+    got2 = ex.search(q2, k=10, scorer="trivial")
+    want2 = oracle_search(corpus, q2.root, k=10, scorer="trivial")
+    assert ids(got2) == [d for d, _ in want2]
+    after = (
+        get_metrics().snapshot().get("phrase.host_verify", {"value": 0})["value"]
+    )
+    assert after == before, "high-freq member fell back to host verification"
+
+
+def test_verify_phrases_device_large_fcap_windows():
+    """The windowed fori path (fcap > 512) == host verifier, including a
+    high-freq ANCHOR member (outer window loop) and freqs that span
+    multiple 512-lane windows."""
+    import jax.numpy as jnp
+
+    from trinity_tpu.exec.phrases import verify_phrases_device
+    from trinity_tpu.utils.bitpack import pack_value_groups
+
+    rng = np.random.default_rng(29)
+    H = 9000
+    positions = rng.integers(0, 1 << 14, H).astype(np.uint16)
+    pw, off = pack_value_groups(positions)
+    hit_pw = jnp.asarray(
+        np.vstack([pw.reshape(-1, 128), np.zeros((1, 128), np.uint32)])
+    )
+    hit_off = jnp.asarray(off.astype(np.int32))
+    n = 24
+    for fcaps, maxf in (
+        ((8, 4096), (8, 1800)),     # high-freq second member
+        ((4096, 8), (1800, 8)),     # high-freq anchor (outer loop)
+        ((4096, 4096), (700, 1500)),  # both streamed
+        ((64, 4096, 8), (64, 1300, 8)),  # 3-member mix
+    ):
+        k = len(fcaps)
+        freqs = np.stack(
+            [rng.integers(1, mf + 1, n) for mf in maxf], axis=1
+        ).astype(np.int32)
+        offs = np.stack(
+            [rng.integers(0, H - mf, n) for mf in maxf], axis=1
+        ).astype(np.int32)
+        valid = rng.random(n) < 0.85
+        want = verify_phrase_candidates(positions, valid, freqs, offs)
+        got = np.asarray(
+            verify_phrases_device(
+                hit_pw, hit_off, jnp.asarray(valid), jnp.asarray(freqs),
+                jnp.asarray(offs), fcaps,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=str(fcaps))
 
 
 def test_lazy_fused_overflow_fallback(small):

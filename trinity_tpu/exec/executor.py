@@ -1724,6 +1724,9 @@ class Executor:
                 )
             )
             return self._finish_phrase_lazy(ctx, gv, gi, resolved)
+        from trinity_tpu.utils.metrics import get_metrics
+
+        get_metrics().count("phrase.host_verify")
         buckets = get_config().batch_buckets
         B = (
             next(b for b in buckets if b >= len(members))
@@ -1873,6 +1876,9 @@ class Executor:
                 np.int32(seg.n_docs), self._deleted,
             )
             return res
+        from trinity_tpu.utils.metrics import get_metrics
+
+        get_metrics().count("phrase.host_verify")
         C = min(get_config().phrase_candidate_cap, WINDOW_SIZE)
         while True:
             fa = _build_phrase_batch_a(phrase_slots, W, T, B, C, self.interpret)
@@ -2005,6 +2011,9 @@ class Executor:
                 np.int32(seg.n_docs), self._deleted,
             )
             return res
+        from trinity_tpu.utils.metrics import get_metrics
+
+        get_metrics().count("phrase.host_verify")
         C = min(get_config().phrase_candidate_cap, WINDOW_SIZE)
         while True:
             fa = _build_phrase_pass_a(

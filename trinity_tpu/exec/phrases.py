@@ -27,15 +27,27 @@ import numpy as np
 
 # Per-member position-count cap ladder for the DEVICE verification path:
 # gathers are padded to a bucket so plan shapes share compiled programs.
-# Members whose segment-wide max freq exceeds the last rung fall back to the
-# host pass (stopword-grade terms inside a phrase; rare and still correct).
-FCAP_LADDER = (8, 64, 512)
+# Rungs <= 512 decode the whole run in one window (the hot shape); larger
+# rungs stream the run through 512-lane windows inside a lax.fori_loop with
+# a data-dependent trip count, so stopword-grade members (per-doc freq up to
+# the 2^16 builder cap) stay ON DEVICE — the reference materializes hits for
+# any freq (lucene_codec.cpp:767-856), and since round 3 so does this path.
+FCAP_LADDER = (8, 64, 512, 4096, 65536)
+SINGLE_WINDOW_FCAP = 512  # largest rung decoded without the window loop
+WINDOW_GROUPS = 4  # groups per window-loop step (512 lanes)
 TILE_LANES = 128  # positions-stream group width (plane matrix lane count)
 
 
 def _lanes_used(fcap: int) -> int:
-    """Trimmed decode width for a member run (see _decode_member_lanes)."""
+    """Trimmed decode width for a single-window member run."""
     return -(-(TILE_LANES - 1 + fcap) // 8) * 8
+
+
+def _win_lanes(fcap: int) -> int:
+    """Live lane width of one decode step (memory-budget accounting)."""
+    if fcap <= SINGLE_WINDOW_FCAP:
+        return _lanes_used(fcap)
+    return WINDOW_GROUPS * TILE_LANES
 
 
 def collect_phrases(tape) -> List[Tuple[tuple, int]]:
@@ -67,30 +79,21 @@ def fcap_bucket(max_freq: int) -> int | None:
     return None
 
 
-def _decode_member_lanes(hit_pw, hit_off, poc, pfc_m, fcap, jnp):
-    """Decode the plane-packed groups covering one member's position run.
+def _decode_groups(hit_pw, hit_off, poc, g_off, ng, lmax, jnp):
+    """Decode ng plane-packed groups starting g_off groups after each run's
+    first group -> vals (c, min(ng*128, lmax)) i32.
 
-    poc/pfc_m: (c,) member offsets/freqs. Returns (vals (c, L) i32,
-    run_mask (c, L) bool) where L = n_groups*128 lanes starting at the
-    run's first group; run_mask marks the f in-run lanes.
-
-    This is the TPU-shaped decode: the run [o, o+f) touches n_groups
-    consecutive 128-value groups; each group's <=14 bit planes span <=2
-    consecutive word rows of the packed matrix, so the whole read is row
-    gathers (measured ~170x faster than flat element gathers on v5e) plus
-    a vectorized contiguous-bit-field extract over all 128 lanes — the
-    same trick as utils/bitpack.py:unpack_value_groups, batched.
-
-    The returned lane axis is trimmed to lanes a run can actually occupy:
-    lo = o & 127 <= 127 and f <= fcap bound the run to the first
-    127 + fcap lanes, so everything past the next 8-lane boundary is
-    provably dead padding — trimming shrinks the downstream all-pairs
-    compare ~3x at fcap=8 ((144/256)^2)."""
-    ng = (fcap + 126) // 128 + 1
-    lmax = _lanes_used(fcap)  # 144 / 192 / 640
+    This is the TPU-shaped decode: a run [o, o+f) touches consecutive
+    128-value groups; each group's <=14 bit planes span <=2 consecutive
+    word rows of the packed matrix, so the whole read is row gathers
+    (measured ~170x faster than flat element gathers on v5e) plus a
+    vectorized contiguous-bit-field extract over all 128 lanes — the same
+    trick as utils/bitpack.py:unpack_value_groups, batched. lmax trims the
+    lane axis to lanes a run can actually occupy (dead-padding cut ~3x at
+    fcap=8)."""
     G = hit_off.shape[0] - 1  # groups in the stream
     R = hit_pw.shape[0]  # word rows incl. guard
-    g0 = jnp.clip(poc >> 7, 0, max(0, G - 1))  # (c,)
+    g0 = jnp.clip((poc >> 7) + g_off, 0, max(0, G - 1))  # (c,)
     gs = jnp.clip(
         g0[:, None] + jnp.arange(ng + 1, dtype=jnp.int32)[None, :], 0, G
     )
@@ -110,11 +113,61 @@ def _decode_member_lanes(hit_pw, hit_off, poc, pfc_m, fcap, jnp):
         ((jnp.uint32(1) << b) - jnp.uint32(1))[..., None]
     )
     c = poc.shape[0]
-    vals = vals.astype(jnp.int32).reshape(c, ng * 128)[:, :lmax]
+    return vals.astype(jnp.int32).reshape(c, ng * 128)[:, :lmax]
+
+
+def _decode_member_lanes(hit_pw, hit_off, poc, pfc_m, fcap, jnp):
+    """Single-window decode of one member's whole position run (fcap <=
+    SINGLE_WINDOW_FCAP): (vals (c, L), run_mask (c, L)), L =
+    _lanes_used(fcap). lo = o & 127 <= 127 and f <= fcap bound the run to
+    the first 127 + fcap lanes."""
+    ng = (fcap + 126) // 128 + 1
+    lmax = _lanes_used(fcap)  # 144 / 192 / 640
+    vals = _decode_groups(hit_pw, hit_off, poc, 0, ng, lmax, jnp)
     lane = jnp.arange(lmax, dtype=jnp.int32)[None, :]
     lo = (poc & 127)[:, None]
     run = (lane >= lo) & (lane < lo + pfc_m[:, None])
     return vals, run
+
+
+def _window_count(fcap: int) -> int:
+    """Static window-loop trip count covering a full fcap-sized run."""
+    ng = (fcap + 126) // 128 + 1
+    return -(-ng // WINDOW_GROUPS)
+
+
+def _member_window_hit(hit_pw, hit_off, poc, pfc_m, fcap, tgt, jax, jnp):
+    """Streamed adjacency test for a high-freq member (fcap >
+    SINGLE_WINDOW_FCAP): does member position == tgt for each tgt lane?
+    The run streams through 512-lane windows inside lax.fori_loop — live
+    memory stays one window, and the trip count is data-dependent (the
+    largest actual freq in the chunk), so a 4096-rung member whose chunk
+    tops out at 300 positions pays one step, not nine."""
+    c, L0 = tgt.shape
+    wl = WINDOW_GROUPS * TILE_LANES
+    nwin_static = _window_count(fcap)
+    lo = (poc & 127)[:, None]
+    end = lo + pfc_m[:, None]  # first lane past each run
+    # windows at or past ceil(max(end)/wl) are all-dead for the chunk
+    nwin_dyn = jnp.minimum(
+        (jnp.max(end) + wl - 1) // wl, nwin_static
+    ).astype(jnp.int32)
+    lane0 = jnp.arange(wl, dtype=jnp.int32)[None, :]
+
+    def body(w, hit):
+        vals = _decode_groups(
+            hit_pw, hit_off, poc, w * WINDOW_GROUPS, WINDOW_GROUPS, wl, jnp
+        )
+        lane = lane0 + w * wl
+        run = (lane >= lo) & (lane < end)
+        h = ((vals[:, None, :] == tgt[:, :, None]) & run[:, None, :]).any(
+            axis=2
+        )
+        return hit | h
+
+    return jax.lax.fori_loop(
+        0, nwin_dyn, body, jnp.zeros((c, L0), bool)
+    )
 
 
 def verify_phrases_device(
@@ -133,7 +186,11 @@ def verify_phrases_device(
     position-count cap >= member m's segment-wide max freq (so the decoded
     group count is static and never truncates a run). Adjacency is an
     all-pairs compare in the decoded lane domain under run masks — no
-    element gathers anywhere. Candidates chunk through lax.map when the
+    element gathers anywhere. Members above SINGLE_WINDOW_FCAP stream
+    their run through the fori window loop (_member_window_hit) — incl.
+    member 0, whose anchor windows drive an outer loop so counts stay
+    anchored on member 0's positions (exact duplicate-position semantics,
+    docwordspace.cpp:3-15). Candidates chunk through lax.map when the
     compare volume would exceed chunk_budget elements; chunks whose slots
     are ALL invalid (candidate arrays are sized for the worst query in the
     batch — the typical query fills a small docid-ordered prefix) skip the
@@ -149,20 +206,54 @@ def verify_phrases_device(
     po2 = offs.reshape(n, k)
     v2 = valid.reshape(n)
 
-    def live_chunk(pfc, poc):
-        start, ok = _decode_member_lanes(
-            hit_pw, hit_off, poc[:, 0], pfc[:, 0], fcaps[0], jnp
-        )
+    def anchor_block(pfc, poc, start, ok):
+        """AND every member's adjacency over one anchor lane block."""
         for m in range(1, k):
-            vals, run = _decode_member_lanes(
-                hit_pw, hit_off, poc[:, m], pfc[:, m], fcaps[m], jnp
-            )
             tgt = start + m  # (c, L0)
-            hit = (
-                (vals[:, None, :] == tgt[:, :, None]) & run[:, None, :]
-            ).any(axis=2)
+            if fcaps[m] <= SINGLE_WINDOW_FCAP:
+                vals, run = _decode_member_lanes(
+                    hit_pw, hit_off, poc[:, m], pfc[:, m], fcaps[m], jnp
+                )
+                hit = (
+                    (vals[:, None, :] == tgt[:, :, None]) & run[:, None, :]
+                ).any(axis=2)
+            else:
+                hit = _member_window_hit(
+                    hit_pw, hit_off, poc[:, m], pfc[:, m], fcaps[m], tgt,
+                    jax, jnp,
+                )
             ok = ok & hit
         return ok.sum(axis=1).astype(jnp.int32)
+
+    def live_chunk(pfc, poc):
+        if fcaps[0] <= SINGLE_WINDOW_FCAP:
+            start, ok = _decode_member_lanes(
+                hit_pw, hit_off, poc[:, 0], pfc[:, 0], fcaps[0], jnp
+            )
+            return anchor_block(pfc, poc, start, ok)
+        # high-freq anchor: stream its run through windows as well; each
+        # anchor position lands in exactly one window, so per-window counts
+        # sum to the member-0-anchored phrase frequency
+        wl = WINDOW_GROUPS * TILE_LANES
+        lo = (poc[:, 0] & 127)[:, None]
+        end = lo + pfc[:, 0][:, None]
+        nwin_dyn = jnp.minimum(
+            (jnp.max(end) + wl - 1) // wl, _window_count(fcaps[0])
+        ).astype(jnp.int32)
+        lane0 = jnp.arange(wl, dtype=jnp.int32)[None, :]
+
+        def body(w, total):
+            start = _decode_groups(
+                hit_pw, hit_off, poc[:, 0], w * WINDOW_GROUPS,
+                WINDOW_GROUPS, wl, jnp,
+            )
+            lane = lane0 + w * wl
+            run = (lane >= lo) & (lane < end)
+            return total + anchor_block(pfc, poc, start, run)
+
+        return jax.lax.fori_loop(
+            0, nwin_dyn, body, jnp.zeros(poc.shape[:1], jnp.int32)
+        )
 
     def one_chunk(args):
         pfc, poc, vld = args  # (c, K), (c, K), (c,)
@@ -172,7 +263,7 @@ def verify_phrases_device(
             lambda: jnp.zeros(pfc.shape[:1], jnp.int32),
         )
 
-    vol = _lanes_used(fcaps[0]) * max(_lanes_used(f) for f in fcaps[1:])
+    vol = _win_lanes(fcaps[0]) * max(_win_lanes(f) for f in fcaps[1:])
     chunk = max(128, chunk_budget // max(1, vol))
     if chunk >= n:
         out = live_chunk(pf2, po2)
