@@ -113,3 +113,61 @@ def test_collect_runs():
     runs = collect_runs(q)
     texts = [[p.terms[0].text for p in run] for run in runs]
     assert ["alpha", "beta"] in texts
+
+
+def _count_nodes(n):
+    from trinity_tpu.query.ast import BinOp, ConstTrueExpr, MatchSome, UnaryOp
+
+    if n is None:
+        return 0
+    if isinstance(n, BinOp):
+        return 1 + _count_nodes(n.lhs) + _count_nodes(n.rhs)
+    if isinstance(n, (UnaryOp, ConstTrueExpr)):
+        return 1 + _count_nodes(n.expr)
+    if isinstance(n, MatchSome):
+        return 1 + sum(_count_nodes(c) for c in n.nodes)
+    return 1
+
+
+def test_span_sharing_linear_blowup():
+    """Span sharing (queries_rewrite.h:16-182): non-overlapping
+    alternatives factor as AND-of-OR-groups, so node count grows LINEARLY
+    with run length — and no alternative is lost to the budget. The
+    unshared prefix expansion duplicated every tail: 2^n leaves for n
+    tokens with one alternative each."""
+    per_token = lambda w: (
+        [Alternative(tokens=(f"alt_{w[0]}",))] if len(w) == 1 else []
+    )
+    sizes = []
+    for n in (4, 8, 12):
+        q = parse_query(" ".join(f"t{i}" for i in range(n)))
+        r = rewrite_query(q, per_token, k=3, budget=256)
+        s = node_to_str(r.root)
+        # every alternative survives (exponential form lost them to budget)
+        assert all(f"alt_t{i}" in s for i in range(n)), s
+        sizes.append(_count_nodes(r.root))
+    # linear growth: doubling the run roughly doubles the nodes
+    assert sizes[1] <= 2 * sizes[0] + 8, sizes
+    assert sizes[2] <= 3 * sizes[0] + 12, sizes
+
+
+def test_span_sharing_overlap_still_branches():
+    """Overlapping spans (no cut point between them) still branch and stay
+    correct: both multi-token alternatives compete as full paths."""
+
+    def alts(w):
+        if w == ("new", "york"):
+            return [Alternative(tokens=("ny",))]
+        if w == ("york", "city"):
+            return [Alternative(tokens=("yc",))]
+        return []
+
+    q = parse_query("new york city")
+    r = rewrite_query(q, alts, k=2)
+    corpus = OracleCorpus()
+    corpus.add(1, ["ny", "city"])
+    corpus.add(2, ["new", "yc"])
+    corpus.add(3, ["new", "york", "city"])
+    corpus.add(4, ["ny", "yc"])  # ny + yc: no complete path (overlap)
+    corpus.add(5, ["new", "york"])
+    assert oracle_match_ids(corpus, r.root) == [1, 2, 3]

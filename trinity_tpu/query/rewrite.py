@@ -158,49 +158,85 @@ def _make_node(
 
 
 def _rewrite_run(tokens: List[Phrase], ctx: _RunCtx) -> Optional[Node]:
-    """DAG construction: expr(i) = OR over edges out of i."""
+    """DAG construction with SPAN SHARING (the flow graph's core property,
+    queries_rewrite.h:16-182): parallel alternatives over the same region
+    join the same downstream flow instead of duplicating it.
+
+    Edges (i -> j, alt) are collected once; a position c that NO span
+    crosses is a cut point, and the run factors as an AND of independent
+    segments there — so a segment's subtree materializes ONCE, shared by
+    every alternative to its left, exactly like flows that merge back into
+    the shared continuation. Only inside a segment (genuinely overlapping
+    spans) does the expansion branch:  expr(i) = OR over edges out of i of
+    [alt AND expr(j)], bounded by the node budget
+    (queries_rewrite.h:981-1095). For non-overlapping alternatives the
+    result is LINEAR in the number of alternatives (see
+    tests/test_rewrite.py node-count comparison) where the unshared
+    expansion was exponential in run length."""
     n = len(tokens)
     texts = [p.terms[0].text for p in tokens]
     base = tokens[0].index if tokens else 0
     node_count = [0]
 
-    def expr(i: int) -> Optional[Node]:
-        # no memo sharing: the AST is a mutable tree (normalize rewrites
-        # nodes in place), so every path is materialized — the node budget
-        # makes this bounded, exactly like the reference's budgeted
-        # flow materialization (queries_rewrite.h:981-1095)
-        if i >= n:
-            return None
-        choices: List[Node] = []
+    # collect every alternative edge once (window-cached provider)
+    edges: Dict[int, List[Tuple[int, Alternative]]] = {}
+    for i in range(n):
+        for j in range(i + 1, min(n, i + ctx.k) + 1):
+            window = tuple(texts[i:j])
+            for alt in ctx.alternatives(window):
+                if list(alt.tokens) == list(window) and not alt.as_phrase:
+                    continue  # identity, covered by the original token edge
+                edges.setdefault(i, []).append((j, alt))
+
+    # cut points: positions no span crosses -> independent AND segments
+    cross = set()
+    for i, lst in edges.items():
+        for j, _ in lst:
+            cross.update(range(i + 1, j))
+    cuts = [0] + [c for c in range(1, n) if c not in cross] + [n]
+
+    def orig_node(i: int) -> Node:
         # original token edge (coefficient 1, identity rewrite)
-        orig = Phrase(
+        return Phrase(
             terms=[Term(texts[i])],
             is_phrase=False,
             rep=tokens[i].rep,
             flags=tokens[i].flags,
             app_phrase_id=tokens[i].app_phrase_id,
         )
-        tail = expr(i + 1)
+
+    def expr(i: int, stop: int) -> Optional[Node]:
+        # branching expansion WITHIN a segment: every path materialized
+        # (the AST is a mutable tree; normalize rewrites nodes in place),
+        # bounded by the node budget — but segments are maximal overlap
+        # groups, so this only pays for genuinely overlapping spans
+        if i >= stop:
+            return None
+        choices: List[Node] = []
+        tail = expr(i + 1, stop)
+        orig = orig_node(i)
         choices.append(BinOp(Op.AND, orig, tail) if tail is not None else orig)
-        # alternative edges for windows [i, j)
-        for j in range(i + 1, min(n, i + ctx.k) + 1):
-            window = tuple(texts[i:j])
-            for alt in ctx.alternatives(window):
-                if node_count[0] >= ctx.budget:
-                    break
-                if list(alt.tokens) == list(window) and not alt.as_phrase:
-                    continue  # identity, already covered
-                node = _make_node(alt, base + i, j - i, node_count)
-                tail = expr(j)
-                choices.append(
-                    BinOp(Op.AND, node, tail) if tail is not None else node
-                )
+        for j, alt in edges.get(i, ()):
+            if node_count[0] >= ctx.budget:
+                break
+            node = _make_node(alt, base + i, j - i, node_count)
+            tail = expr(j, stop)
+            choices.append(
+                BinOp(Op.AND, node, tail) if tail is not None else node
+            )
         out = choices[0]
         for c in choices[1:]:
             out = BinOp(Op.OR, out, c)
         return out
 
-    return expr(0)
+    parts = [expr(a, b) for a, b in zip(cuts[:-1], cuts[1:])]
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = BinOp(Op.AND, out, p)
+    return out
 
 
 def rewrite_query(
