@@ -229,3 +229,59 @@ def test_doc_set_and_veto(ex):
     exec_rich(ex, "apple", lambda md: seen2.append(md.doc_id),
               doc_set=subset)
     assert set(seen2) == set(int(x) for x in subset)
+
+
+def test_bulk_materialization_match_heavy():
+    """Match-heavy throughput (r3, queryexec_ctx.cpp:317-351 analog): a
+    query matching ~20k docs delivers full MatchedDocuments through ONE
+    bulk position gather — semantics unchanged, wall bounded."""
+    import time
+
+    sess = SegmentIndexSession()
+    n = 20_000
+    ids = list(range(n))
+    docs = [["common", f"u{d % 97}"] for d in ids]
+    sess.bulk_index(ids, docs)
+    ex2 = Executor(sess.commit())
+
+    got = []
+    t0 = time.perf_counter()
+    delivered = exec_rich(ex2, "common", got.append)
+    wall = time.perf_counter() - t0
+    assert delivered == n
+    assert [m.doc_id for m in got[:3]] == [0, 1, 2]
+    m = got[7]
+    assert m.doc_id == 7 and m.term("common").freq == 1
+    assert m.term("common").hits[0].pos == 1
+    assert m.dws.test("common", 1)
+    # generous CI budget; the per-candidate PositionsView loop took minutes
+    assert wall < 30, f"match-heavy materialization too slow: {wall:.1f}s"
+
+
+def test_bulk_materialization_phrase_and_filter_parity():
+    """Bulk path keeps exact-phrase re-check and doc_filter veto semantics."""
+    sess = SegmentIndexSession()
+    ids, docs = [], []
+    for d in range(3000):
+        if d % 3 == 0:
+            docs.append(["red", "shoe", "sale"])
+        elif d % 3 == 1:
+            docs.append(["shoe", "red", "sale"])  # both terms, wrong order
+        else:
+            docs.append(["blue", "shoe"])
+        ids.append(d)
+    sess.bulk_index(ids, docs)
+    ex2 = Executor(sess.commit())
+
+    got = []
+    exec_rich(ex2, '"red shoe"', got.append)
+    assert [m.doc_id for m in got] == [d for d in range(3000) if d % 3 == 0]
+
+    got2 = []
+    exec_rich(
+        ex2, '"red shoe"', got2.append,
+        doc_filter=lambda app_id: app_id % 2 == 1,
+    )
+    assert [m.doc_id for m in got2] == [
+        d for d in range(3000) if d % 3 == 0 and d % 2 == 0
+    ]

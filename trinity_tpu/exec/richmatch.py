@@ -372,7 +372,51 @@ def exec_rich(
             break
         C = WINDOW_SIZE if max_cnt > 8192 else 8192
 
-    # host materialization + exact evaluation, window by window
+    # host materialization, BULK: the reference materializes hits per
+    # document inside the exec loop (queryexec_ctx.cpp:317-351); a Python
+    # per-candidate loop over PositionsView slices was O(matches) numpy
+    # calls, so instead every surviving candidate's positions/payloads
+    # decode in ONE vectorized gather, and the per-match loop only
+    # assembles objects from pre-gathered arrays. Candidate order is
+    # (window, in-window docid) ascending == global docid ascending, same
+    # as the reference's forward iteration.
+    from trinity_tpu.utils.bitpack import unpack_value_groups
+
+    vw, vc = np.nonzero(valid)  # row-major -> ascending docid order
+    if len(vw) == 0:
+        return 0
+    local = vw.astype(np.int64) * WINDOW_SIZE + ki[vw, vc]
+    app = seg.doc_map[local].astype(np.int64)
+    if doc_filter is not None:
+        # pre-eval veto (matches.h:198-201), BEFORE any materialization
+        keep = np.fromiter(
+            (not doc_filter(int(a)) for a in app), bool, len(app)
+        )
+        vw, vc, app = vw[keep], vc[keep], app[keep]
+        if len(vw) == 0:
+            return 0
+    Tn = plan.n_slots
+    fr = pf[vw[:, None], vc[:, None], np.arange(Tn)[None, :]].astype(
+        np.int64
+    ).ravel()  # (M*Tn,) per-candidate per-slot freqs
+    orv = po[vw[:, None], vc[:, None], np.arange(Tn)[None, :]].astype(
+        np.int64
+    ).ravel()
+    tot = int(fr.sum())
+    bounds = np.zeros(len(fr) + 1, np.int64)
+    np.cumsum(fr, out=bounds[1:])
+    flat_idx = np.repeat(orv, fr) + (
+        np.arange(tot, dtype=np.int64) - np.repeat(bounds[:-1], fr)
+    )
+    allpos = unpack_value_groups(seg.hit_planes, seg.hit_group_off, flat_idx)
+    payloads = seg.payloads
+    allpay = payloads[flat_idx] if payloads is not None else None
+
+    # exact re-evaluation is only needed when the device mask was RELAXED
+    # (phrase -> member conjunction superset); for phrase-free queries the
+    # device mask is already exact (engine-vs-oracle parity tests)
+    need_exact = plan.has_phrase
+
     class _NullScorer(Scorer):
         def __init__(self):
             self.model = Trivial
@@ -383,53 +427,48 @@ def exec_rich(
     sc = _NullScorer()
     weights_cache: dict = {}
     delivered = 0
-    positions = seg.positions
-    for w in range(W):
-        for c in range(C):
-            if not valid[w, c]:
-                break
-            local = w * WINDOW_SIZE + int(ki[w, c])
-            app_id = int(seg.doc_map[local])
-            if doc_filter is not None and doc_filter(app_id):
-                continue  # pre-eval veto (matches.h:198-201)
-            doc_terms: Dict[str, List[int]] = {}
-            doc_offs: Dict[str, int] = {}
-            for s, text in enumerate(plan.term_texts):
-                f = int(pf[w, c, s])
-                if f > 0:
-                    o = int(po[w, c, s])
-                    doc_terms[text] = [int(p) for p in positions[o : o + f]]
-                    doc_offs[text] = o
+    texts = plan.term_texts
+    for m in range(len(vw)):
+        base = m * Tn
+        doc_terms: Dict[str, List[int]] = {}
+        slot_of: Dict[str, int] = {}
+        for s in range(Tn):
+            f = int(fr[base + s])
+            if f > 0:
+                b0 = int(bounds[base + s])
+                doc_terms[texts[s]] = allpos[b0 : b0 + f].tolist()
+                slot_of[texts[s]] = base + s
+        if need_exact:
             matched, _ = _eval(root, doc_terms, sc, weights_cache)
             if not matched:
-                continue  # relaxed candidate that fails exact (phrase) check
-            dws = DocWordsSpace()
-            mts = []
-            payloads = seg.payloads
-            for text, pos_list in doc_terms.items():
-                for p in pos_list:
-                    dws.set(text, p)
-                o = doc_offs[text]
+                continue  # relaxed candidate failing the exact phrase check
+        dws = DocWordsSpace()
+        pos_map = dws._pos
+        mts = []
+        for text, pos_list in doc_terms.items():
+            for p in pos_list:
+                pos_map[p] = text
+            if allpay is not None:
+                b0 = int(bounds[slot_of[text]])
                 hits = [
-                    TermHit(
-                        p,
-                        int(payloads[o + i]) if payloads is not None else 0,
-                    )
+                    TermHit(p, int(allpay[b0 + i]))
                     for i, p in enumerate(pos_list)
                 ]
-                mts.append(
-                    MatchedTerm(term=text, freq=len(pos_list), hits=hits)
-                )
-            md = MatchedDocument(
-                doc_id=app_id,
-                matched_terms=mts,
-                dws=dws,
-                query_index_terms=qit,
-                term_ctxs=term_ctxs,
+            else:
+                hits = [TermHit(p) for p in pos_list]
+            mts.append(
+                MatchedTerm(term=text, freq=len(pos_list), hits=hits)
             )
-            try:
-                on_match(md)
-            except AbortSearch:
-                return delivered
-            delivered += 1
+        md = MatchedDocument(
+            doc_id=int(app[m]),
+            matched_terms=mts,
+            dws=dws,
+            query_index_terms=qit,
+            term_ctxs=term_ctxs,
+        )
+        try:
+            on_match(md)
+        except AbortSearch:
+            return delivered
+        delivered += 1
     return delivered
