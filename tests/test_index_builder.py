@@ -241,11 +241,23 @@ def test_spill_bounded_indexing(tmp_path):
     b = sess.commit()
     assert not sess._spills  # cleaned up
     assert a.terms == b.terms
-    np.testing.assert_array_equal(a.planes, b.planes)
-    np.testing.assert_array_equal(a.doc_map, b.doc_map)
+    # the spilled build runs the PARTITIONED encoder (bounded output
+    # memory, codecs.h:76-90 analog) — the segment must be BIT-IDENTICAL
+    # to the monolithic build, including the cross-word plane merges
+    for field in (
+        "planes", "doc_map", "term_block_start", "term_nblocks", "term_df",
+        "term_sum_hits", "block_plane_off", "block_first_doc",
+        "block_last_doc", "block_count", "block_bits_doc", "block_bits_freq",
+        "block_hits_off", "block_max_freq", "hit_planes", "hit_group_off",
+    ):
+        np.testing.assert_array_equal(
+            getattr(a, field), getattr(b, field), err_msg=field
+        )
     np.testing.assert_array_equal(
         np.asarray(a.positions), np.asarray(b.positions)
     )
+    assert a.max_position == b.max_position
+    assert a.stats == b.stats
 
     # bulk path spills too
     sess2 = SegmentIndexSession(spill_threshold=300, spill_dir=str(tmp_path))
@@ -255,3 +267,56 @@ def test_spill_bounded_indexing(tmp_path):
     assert sess2._spills
     c = sess2.commit()
     np.testing.assert_array_equal(a.planes, c.planes)
+
+
+def test_spill_partitioned_payloads_updates(tmp_path):
+    """Partitioned commit keeps payloads aligned and updated_ids intact,
+    and a tiny budget genuinely produces many partitions."""
+    import trinity_tpu.index.builder as B
+
+    rng = np.random.default_rng(5)
+    docs = {
+        d: [f"p{int(x)}" for x in rng.integers(0, 40, rng.integers(2, 6))]
+        for d in range(300)
+    }
+
+    def build(**kw):
+        sess = SegmentIndexSession(track_payloads=True, **kw)
+        for d, toks in docs.items():
+            p = sess.begin(d)
+            for pos, t in enumerate(toks, 1):
+                p.insert(t, pos, payload=(d * 131 + pos) % 9973)
+            (sess.update if d % 3 == 0 else sess.insert)(p)
+        sess.erase(10_000)
+        return sess.commit()
+
+    a = build()
+    # spill every ~50 hits -> budget forces many term partitions
+    calls = [0]
+    orig = B._build_blocks_numpy
+    import trinity_tpu.utils.native as native
+
+    orig_native = native.build_blocks
+
+    def count_native(*ar, **kw):
+        calls[0] += 1
+        return orig_native(*ar, **kw)
+
+    def count_numpy(*ar, **kw):
+        calls[0] += 1
+        return orig(*ar, **kw)
+
+    native.build_blocks = count_native
+    B._build_blocks_numpy = count_numpy
+    try:
+        b = build(spill_threshold=50, spill_dir=str(tmp_path))
+    finally:
+        native.build_blocks = orig_native
+        B._build_blocks_numpy = orig
+    assert calls[0] > 3, f"expected many partitions, saw {calls[0]}"
+    np.testing.assert_array_equal(a.planes, b.planes)
+    np.testing.assert_array_equal(a.payloads, b.payloads)
+    np.testing.assert_array_equal(a.updated_ids, b.updated_ids)
+    np.testing.assert_array_equal(
+        np.asarray(a.positions), np.asarray(b.positions)
+    )

@@ -218,20 +218,13 @@ class SegmentIndexSession:
         app_ids = np.array(sorted(self._seen), dtype=np.uint32)
         n_docs = len(app_ids)
 
-        # flatten live buffer + spilled chunks (app doc ids throughout)
+        if self._spills:
+            # spill files exist -> the corpus outgrew the memory budget, so
+            # the output must be encoded in bounded partitions too
+            return self._commit_partitioned(app_ids, n_docs)
+
+        # flatten the live buffer (app doc ids throughout)
         parts = [self._flatten_pending()]
-        for path in self._spills:
-            z = np.load(path)
-            parts.append(
-                (
-                    z["tid"],
-                    z["doc"],
-                    z["pos"],
-                    z["pay"] if "pay" in z.files else None,
-                )
-            )
-            os.unlink(path)
-        self._spills.clear()
         tid_a = np.concatenate([x[0] for x in parts])
         doc_app = np.concatenate([x[1] for x in parts])
         pos_a = np.concatenate([x[2] for x in parts])
@@ -252,10 +245,7 @@ class SegmentIndexSession:
         doc_a = np.searchsorted(app_ids, doc_app).astype(np.int64)
 
         # sorted term space: intern id -> sorted ordinal (terms_cmp order)
-        order = sorted(range(len(self._term_list)), key=lambda i: self._term_list[i])
-        sorted_terms = [self._term_list[i] for i in order]
-        rank = np.empty(len(order), np.int64)
-        rank[order] = np.arange(len(order))
+        sorted_terms, rank = self._sorted_terms_rank()
         if total:
             tid_a = rank[tid_a]
 
@@ -276,6 +266,282 @@ class SegmentIndexSession:
             pay_a,
             np.array(sorted(self._updated), dtype=np.uint32),
             n_docs,
+        )
+
+    def _sorted_terms_rank(self):
+        """(sorted term list, intern-id -> sorted-ordinal map)."""
+        order = sorted(
+            range(len(self._term_list)), key=lambda i: self._term_list[i]
+        )
+        sorted_terms = [self._term_list[i] for i in order]
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order))
+        return sorted_terms, rank
+
+    def _commit_partitioned(self, app_ids, n_docs) -> SegmentData:
+        """Bounded-memory commit: encode the index output in TERM PARTITIONS
+        instead of concatenating + lexsorting the whole corpus.
+
+        The reference bounds indexing memory on both sides: input hits flush
+        at intermediateStateFlushFreq (indexer.cpp:134-152) and the codec
+        encoder streams its output through a flushing sink (codecs.h:76-90,
+        lucene_codec.cpp:107-120), so peak RAM tracks the flush frequency,
+        not the corpus. Here the spill files bound the input; this method
+        bounds the ENCODE: pick contiguous sorted-term-ordinal ranges whose
+        total hit count fits the spill threshold, and for each range gather
+        just its hits from every spill, lexsort that slice, and encode its
+        blocks. Per-partition plane matrices are merged with cross-word bit
+        shifts, so the output is BIT-IDENTICAL to the monolithic build
+        (tests/test_index_builder.py asserts array equality). Raw positions
+        stream through a disk memmap; peak RAM is O(partition + output)
+        instead of O(3x raw corpus).
+        """
+        import tempfile
+
+        from trinity_tpu.limits import MAX_SEGMENT_DOCS
+        from trinity_tpu.utils import native
+        from trinity_tpu.utils.bitpack import pack_value_groups
+
+        if n_docs >= MAX_SEGMENT_DOCS:
+            raise ValueError(
+                f"segment docid space {n_docs} >= 2^24: packed batch outputs "
+                "carry docids as f32 (exact only below 2^24) — shard the "
+                "corpus into multiple segments instead"
+            )
+        self.flush_intermediate()  # everything lives in spills now
+        sorted_terms, rank = self._sorted_terms_rank()
+        n_terms = len(sorted_terms)
+
+        # metadata pass: hits per sorted ordinal (each spill loaded alone)
+        hits_per = np.zeros(max(n_terms, 1), np.int64)
+        for path in self._spills:
+            z = np.load(path)
+            if len(z["tid"]):
+                hits_per[: n_terms] += np.bincount(
+                    rank[z["tid"]], minlength=n_terms
+                )
+        total = int(hits_per.sum())
+
+        # contiguous ordinal partitions bounded by the spill threshold (a
+        # single term's postings can exceed it — then it gets its own
+        # partition; the encoder needs a term's postings together)
+        budget = max(
+            self.spill_threshold or max(total, 1),
+            int(hits_per.max(initial=1)),
+        )
+        cuts, acc = [0], 0
+        for t in range(n_terms):
+            if acc + hits_per[t] > budget and acc:
+                cuts.append(t)
+                acc = 0
+            acc += int(hits_per[t])
+        cuts.append(n_terms)
+
+        # global output accumulators (output-sized, compressed)
+        term_df = np.zeros(n_terms, np.uint32)
+        term_sum_hits = np.zeros(n_terms, np.uint64)
+        term_nblocks = np.zeros(n_terms, np.int64)
+        blk_parts = []  # per-partition block-array tuples
+        plane_parts = []  # merged u32 word-rows (see _append_planes)
+        prow_total = 0  # exact plane rows emitted so far
+        n_postings_total = 0
+        hit_base = 0
+        max_pos = 0
+        fd, pos_path = tempfile.mkstemp(
+            suffix=".trinity-pos.u32", dir=self._spill_dir
+        )
+        os.close(fd)
+        pos_mm = np.lib.format.open_memmap(
+            pos_path, mode="w+", dtype=np.uint32, shape=(max(total, 1),)
+        )
+        pay_mm = None
+        if self.track_payloads:
+            fd, pay_path = tempfile.mkstemp(
+                suffix=".trinity-pay.u64", dir=self._spill_dir
+            )
+            os.close(fd)
+            pay_mm = np.lib.format.open_memmap(
+                pay_path, mode="w+", dtype=np.uint64, shape=(max(total, 1),)
+            )
+
+        def append_planes(words, p_local):
+            """Merge a partition's packed planes at plane-row offset
+            prow_total (not word-aligned): shift by `lead` bits with carry
+            across word rows, OR the first row into the previous tail."""
+            nonlocal prow_total
+            if p_local == 0:
+                return
+            lead = prow_total % 32
+            if lead == 0:
+                plane_parts.append(words.copy())
+            else:
+                lw = words.astype(np.uint64) << np.uint64(lead)
+                R = len(words)
+                ext = np.zeros((R + 1, BLOCK_SIZE), np.uint32)
+                ext[:R] = (lw & 0xFFFFFFFF).astype(np.uint32)
+                ext[1:] |= (lw >> np.uint64(32)).astype(np.uint32)
+                need = -(-(lead + p_local) // 32)
+                plane_parts[-1][-1] |= ext[0]
+                if need > 1:
+                    plane_parts.append(ext[1:need])
+            prow_total += p_local
+
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            parts_t, parts_d, parts_p, parts_pl = [], [], [], []
+            for path in self._spills:
+                z = np.load(path)
+                if not len(z["tid"]):
+                    continue
+                r = rank[z["tid"]]
+                sel = (r >= lo) & (r < hi)
+                if not sel.any():
+                    continue
+                parts_t.append(r[sel])
+                parts_d.append(z["doc"][sel])
+                parts_p.append(z["pos"][sel])
+                if self.track_payloads:
+                    parts_pl.append(
+                        z["pay"][sel]
+                        if "pay" in z.files
+                        else np.zeros(int(sel.sum()), np.uint64)
+                    )
+            if not parts_t:
+                continue
+            tid_a = np.concatenate(parts_t)
+            doc_a = np.searchsorted(app_ids, np.concatenate(parts_d)).astype(
+                np.int64
+            )
+            pos_a = np.concatenate(parts_p)
+            perm = np.lexsort((pos_a, doc_a, tid_a))
+            tid_a, doc_a, pos_a = tid_a[perm], doc_a[perm], pos_a[perm]
+            pay_a = (
+                np.concatenate(parts_pl)[perm] if self.track_payloads else None
+            )
+            n = len(tid_a)
+
+            key = tid_a * (n_docs + 1) + doc_a
+            boundaries = np.empty(n, bool)
+            boundaries[0] = True
+            np.not_equal(key[1:], key[:-1], out=boundaries[1:])
+            p_start = np.flatnonzero(boundaries)
+            p_tid = tid_a[p_start] - lo  # partition-local term index
+            p_doc = doc_a[p_start]
+            p_freq = np.diff(np.append(p_start, n))
+            if len(p_freq) and int(p_freq.max()) >= (1 << MAX_FREQ_BITS):
+                raise ValueError("per-document term frequency must be < 2^16")
+
+            nt = hi - lo
+            df = np.bincount(p_tid, minlength=nt)
+            term_df[lo:hi] = df
+            term_sum_hits[lo:hi] = np.bincount(
+                p_tid, weights=p_freq, minlength=nt
+            ).astype(np.uint64)
+            nb = -(-df // BLOCK_SIZE)
+            term_nblocks[lo:hi] = nb
+            nbl = int(nb.sum())
+            posting_start = np.zeros(nt + 1, np.int64)
+            posting_start[:-1] = np.searchsorted(p_tid, np.arange(nt))
+            posting_start[-1] = len(p_tid)
+            p_start_global = (p_start + hit_base).astype(np.uint32)
+
+            out = (
+                native.build_blocks(
+                    posting_start,
+                    p_doc.astype(np.uint32),
+                    p_freq.astype(np.uint32),
+                    p_start_global,
+                    nbl,
+                )
+                if nbl
+                else None
+            )
+            if out is None:
+                tbs = np.zeros(nt, np.int64)
+                if nt > 1:
+                    tbs[1:] = np.cumsum(nb[:-1])
+                out = _build_blocks_numpy(
+                    posting_start, p_doc, p_freq, p_start_global, nt, nbl, tbs
+                )
+            (bpo, bfd, bld, bct, bbd, bbf, bho, bmf, words) = out
+            p_local = int(bbd.astype(np.int64).sum() + bbf.astype(np.int64).sum())
+            blk_parts.append(
+                (bpo.astype(np.int64) + prow_total, bfd, bld, bct, bbd, bbf, bho, bmf)
+            )
+            append_planes(words, p_local)
+            n_postings_total += len(p_tid)
+            pos_mm[hit_base : hit_base + n] = pos_a
+            if pay_mm is not None:
+                pay_mm[hit_base : hit_base + n] = pay_a
+            hit_base += n
+            if n:
+                max_pos = max(max_pos, int(pos_a.max()))
+
+        for path in self._spills:
+            os.unlink(path)
+        self._spills.clear()
+
+        term_block_start = np.zeros(n_terms, np.int64)
+        if n_terms > 1:
+            term_block_start[1:] = np.cumsum(term_nblocks[:-1])
+        if blk_parts:
+            block_arrays = [np.concatenate(x) for x in zip(*blk_parts)]
+        else:
+            block_arrays = [
+                np.zeros(0, d)
+                for d in (
+                    np.int64, np.uint32, np.uint32, np.int32,
+                    np.uint8, np.uint8, np.uint32, np.uint16,
+                )
+            ]
+        (bpo, bfd, bld, bct, bbd, bbf, bho, bmf) = block_arrays
+        planes = (
+            np.vstack(plane_parts)
+            if plane_parts
+            else np.zeros((0, BLOCK_SIZE), np.uint32)
+        )
+
+        pos_view = pos_mm[:total]
+        packed_pos = native.pack_value_groups(pos_view)
+        if packed_pos is None:
+            packed_pos = pack_value_groups(pos_view)
+        hit_planes, hit_group_off = packed_pos
+        payloads = (
+            np.asarray(pay_mm[:total]) if pay_mm is not None else None
+        )
+        del pos_mm
+        os.unlink(pos_path)
+        if pay_mm is not None:
+            del pay_mm
+            os.unlink(pay_path)
+
+        stats = FieldStatistics(
+            sum_term_hits=total,
+            total_terms=n_terms,
+            sum_terms_docs=n_postings_total,
+            docs_cnt=n_docs,
+        )
+        return SegmentData(
+            doc_map=app_ids,
+            terms=sorted_terms,
+            term_block_start=term_block_start.astype(np.uint32),
+            term_nblocks=term_nblocks.astype(np.uint32),
+            term_df=term_df,
+            term_sum_hits=term_sum_hits.astype(np.uint32),
+            block_plane_off=bpo.astype(np.uint32),
+            block_first_doc=bfd,
+            block_last_doc=bld,
+            block_count=bct,
+            block_bits_doc=bbd,
+            block_bits_freq=bbf,
+            block_hits_off=bho,
+            block_max_freq=bmf,
+            planes=planes,
+            hit_planes=hit_planes,
+            hit_group_off=hit_group_off,
+            payloads=payloads,
+            updated_ids=np.array(sorted(self._updated), dtype=np.uint32),
+            stats=stats,
+            max_position=max_pos,
         )
 
 
