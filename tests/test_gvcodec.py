@@ -90,3 +90,26 @@ def test_unknown_codec_rejected(tmp_path):
     seg = _make_seg()
     with pytest.raises(ValueError):
         seg.persist(str(tmp_path / "x"), codec="nope")
+
+
+def test_codec_tradeoff_measurable(tmp_path):
+    """Both codec families report a measurable size/speed tradeoff
+    (codecs.h:8 has the claim; here the numbers exist: persisted_size +
+    timed load, full-scale run in tools/measure_codecs.py)."""
+    import time
+
+    from trinity_tpu.index.format import persisted_size
+
+    seg = _make_seg()
+    report = {}
+    for codec in ("tpu_planes", "gv_streams"):
+        path = tmp_path / codec
+        seg.persist(str(path), codec=codec)
+        size = persisted_size(str(path))
+        t0 = time.perf_counter()
+        seg2 = SegmentData.load(str(path))
+        report[codec] = {"bytes": size["total"], "load_s": time.perf_counter() - t0}
+        assert seg2.n_docs == seg.n_docs
+        assert size["total"] > 0 and "index.npz" in size
+    # the two families genuinely differ on disk (different layouts)
+    assert report["tpu_planes"]["bytes"] != report["gv_streams"]["bytes"]

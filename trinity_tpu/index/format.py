@@ -277,6 +277,20 @@ class SegmentData:
         )
 
 
+def persisted_size(path: str) -> dict:
+    """On-disk footprint of a persisted segment dir, bytes per file +
+    total — the measurement behind the codec size/speed tradeoff claim
+    (the reference states its Google codec trades size for speed,
+    codecs.h:8; here the numbers are recorded, tools/measure_codecs.py)."""
+    out = {}
+    for fn in sorted(os.listdir(path)):
+        fp = os.path.join(path, fn)
+        if os.path.isfile(fp):
+            out[fn] = os.path.getsize(fp)
+    out["total"] = sum(out.values())
+    return out
+
+
 def decode_block(seg: SegmentData, b: int):
     """Host-side reference decode of one block -> (local docids, freqs).
 
