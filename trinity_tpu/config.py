@@ -30,6 +30,14 @@ class Config:
     default_scorer: str = "bm25"
     # host
     use_native: bool = True  # libtrinity_host.so if built
+    # HBM residency budget for many-segment serving (exec/residency.py):
+    # total device bytes of segment arrays kept resident; 0 = unlimited
+    # (every executor stays uploaded, the single-segment serving default)
+    hbm_budget_bytes: int = 0
+    # persistent COMPILED-executable cache (utils/aotcache.py): absorbs the
+    # per-process remote-compile bill on backends whose XLA persistent cache
+    # misses Mosaic kernels. Empty string = disabled (tests, CPU runs).
+    aot_cache_dir: str = ""
 
     @classmethod
     def from_env(cls) -> "Config":
