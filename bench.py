@@ -125,7 +125,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _wait_for_device()
 
+    from trinity_tpu.config import configure
     from trinity_tpu.exec import Executor
+
+    # persistent COMPILED-EXECUTABLE cache (utils/aotcache.py): the XLA
+    # persistent cache misses Mosaic kernels on this backend, so serialized
+    # executables are the cross-process warm-start path
+    configure(aot_cache_dir="/root/repo/.aot_cache")
 
     t0 = time.time()
     seg = build_corpus()
@@ -140,8 +146,11 @@ def main():
     # the persistent cache makes later processes start warm. Serving latency
     # is then steady-state, like the reference's zero-compile-cost execution
     # (exec.cpp:662-666).
-    ex.warmup(queries, k=10)
-    _log(f"warmup done at {time.time()-t0:.0f}s")
+    wstat = ex.warmup(queries, k=10)
+    _log(
+        f"warmup done at {time.time()-t0:.0f}s "
+        f"({wstat['programs']} program variants in {wstat['seconds']:.0f}s)"
+    )
     # serving-loop throughput: consecutive batches pipeline (dispatch N+1
     # while N executes, Executor.launch_batch/finish_batch) so the
     # per-batch host planning and tunnel round trip overlap device compute.
@@ -179,6 +188,7 @@ def main():
             f"{mem['positions_planes']/1e6:.0f} + meta "
             f"{mem['block_term_meta']/1e6:.0f} + terms "
             f"{mem['terms_dict']/1e6:.1f}], "
+            f"warmup {wstat['programs']} variants in {wstat['seconds']:.0f}s, "
             f"backend={jax.default_backend()})"
         ),
         "value": round(qps, 2),

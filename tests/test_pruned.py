@@ -54,6 +54,77 @@ def test_pruned_fallback_on_complex(big):
     ]
 
 
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        "[t0,t3,t9]",  # MatchSome 1-of-n
+        "(t0 t1) OR (t5 t9)",  # OR-of-AND
+        "(t0 OR t3) t9",  # AND-of-OR
+        "t0 ([t1,t5] OR t13)",  # nested mix
+        "(t3 OR t9) NOT (t0 t1)",  # NOT with compound rhs
+    ],
+)
+def test_pruned_exact_general_shapes(big, qtext):
+    """Round-3 generalized bounds (_tape_window_bounds): ANY boolean tape
+    prunes — MatchSome, OR-of-AND, nested — with exact results, both
+    single-query and batched (docset_iterators.h:38-60)."""
+    ex, _ = big
+    dense = ex.search(qtext, k=10)
+    pruned = ex.search_pruned(qtext, k=10, chunk_windows=2)
+    assert [(r.doc_id, r.score) for r in pruned] == [
+        (r.doc_id, r.score) for r in dense
+    ], qtext
+    batched = ex.search_pruned_batch([qtext, qtext], k=10, chunk_windows=2)
+    for rb in batched:
+        assert [(r.doc_id, r.score) for r in rb] == [
+            (r.doc_id, r.score) for r in dense
+        ], qtext
+
+
+def test_pruned_skips_windows_general_shape():
+    """The generalized bound must actually skip windows for a compound
+    tape (OR-of-AND) on a skewed corpus, not just stay exact."""
+    from trinity_tpu.index.builder import SegmentIndexSession
+
+    sess = SegmentIndexSession()
+    docs, dids = [], []
+    for d in range(100_000):
+        if 40_000 <= d < 40_100:
+            docs.append(["hot"] * 8 + ["warm"] * 4 + ["filler"])
+        else:
+            docs.append(["hot", "warm", "filler"] if d % 7 == 0 else ["filler"])
+        dids.append(d)
+    sess.bulk_index(dids, docs)
+    ex = Executor(sess.commit())
+
+    import trinity_tpu.exec.executor as E
+
+    calls = [0]
+    orig = E._build_pruned_fn
+
+    def counting(*a, **kw):
+        fn = orig(*a, **kw)
+
+        def wrapped(*args):
+            calls[0] += 1
+            return fn(*args)
+
+        return wrapped
+
+    E._build_pruned_fn = counting
+    try:
+        q = "(hot warm) OR [hot,warm]"
+        pruned = ex.search_pruned(q, k=10, chunk_windows=1)
+    finally:
+        E._build_pruned_fn = orig
+    dense = ex.search(q, k=10)
+    assert [(r.doc_id, r.score) for r in pruned] == [
+        (r.doc_id, r.score) for r in dense
+    ]
+    W = ex.seg.n_windows
+    assert calls[0] < W, f"no pruning happened ({calls[0]} of {W} windows)"
+
+
 def test_pruned_skips_windows():
     """With a skewed corpus (high-scoring docs concentrated in one window)
     the bound must actually prune: count device chunk evaluations."""
@@ -108,8 +179,10 @@ def test_pruned_batch_matches_batch(big):
         "t3 OR t9 OR t21",
         "t0 t1",  # repeat -> same group
         "t5 t9 t13",
-        "t0 NOT t1",  # fallback shape
+        "t0 NOT t1",  # NOT shape (prunes with lhs bound since r2)
         '"t0 t1"',  # phrase fallback
+        "[t0,t3,t9]",  # MatchSome (prunes since r3 generalized bounds)
+        "(t0 t1) OR (t5 t9)",  # OR-of-AND (r3)
         "t1999",
     ]
     a = ex.search_batch(qs, k=10)

@@ -32,6 +32,7 @@ from trinity_tpu.limits import WINDOW_SIZE
 from trinity_tpu.models.similarity import SIMILARITIES
 from trinity_tpu.plan.compile import CompiledPlan, compile_plan
 from trinity_tpu.query.parser import Query, parse_query
+from trinity_tpu.utils.aotcache import aot_jit
 
 NEG_INF = float("-inf")
 
@@ -213,7 +214,7 @@ def _build_fused_fn(tape, scorer_name, W, T, B, k, interpret):
         )
         return exact_window_topk(scores, rmax, k)
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_fused_fn", tape, scorer_name, W, T, B, k, interpret)
 
 
 @functools.lru_cache(maxsize=512)
@@ -252,7 +253,7 @@ def _build_search_fn(tape, scorer_name, W, T, k, interpret, mode):
         gv, gi = jax.lax.top_k(scores.reshape(-1), k)
         return gv, gi
 
-    return jax.jit(run, static_argnames=())
+    return aot_jit(run, "_build_search_fn", tape, scorer_name, W, T, k, interpret, mode)
 
 
 @functools.lru_cache(maxsize=512)
@@ -312,39 +313,77 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
                 )
         return jnp.concatenate(rows, axis=0)
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_batch_combined", spec, scorer_name, W, k, interpret)
 
 
-def _flat_tok_slots(tape):
-    """If the tape is a flat AND/OR of tokens, return (kind, [(slot, widx)]);
-    else None. The shapes block-max pruning has tight bounds for."""
+def _tape_window_bounds(seg, tape, cs_h, cn_h, w_h, model, col):
+    """Per-window (score upper bound, presence) for ANY boolean tape — the
+    generalized WAND bound (docset_iterators.h:38-60), round 3 extension of
+    the flat-AND/OR-only bound: token bounds come from per-block max
+    frequencies; AND/OR sum child bounds under joint/either presence (each
+    child's contribution is zeroed when it can't match); NOT keeps the lhs
+    bound (the rhs only removes matches); MatchSome sums member bounds
+    under a k-of-n presence count; ConstTrueExpr and unary-NOT can match
+    anywhere with zero own contribution. Scores are non-negative (BM25/
+    TF-IDF/Trivial weights >= 0), so summed child bounds are sound.
+    Over-inclusive at window boundaries — safe for an upper bound. Phrase
+    tapes are excluded by the caller (the pruned chunk evaluator has no
+    verification machinery)."""
+    W = cs_h.shape[0]
     kind = tape[0]
     if kind == "tok":
-        return ("or", [(tape[1], tape[2])])
-    if kind not in ("and", "or"):
-        return None
-    toks = []
-
-    def walk(n):
-        if n[0] == "tok":
-            toks.append((n[1], n[2]))
-            return True
-        if n[0] == kind:
-            return walk(n[1]) and walk(n[2])
-        return False
-
-    if not walk(tape):
-        return None
-    return (kind, toks)
-
-
-def _pruned_bound_slots(tape):
-    """Tapes with a tight block-max window bound: flat AND/OR of tokens,
-    or `flat NOT anything` (the rhs only removes matches, so the lhs bound
-    stays a sound upper bound — the WAND-with-exclusions shape)."""
-    if tape[0] == "not":
-        return _flat_tok_slots(tape[1])
-    return _flat_tok_slots(tape)
+        _, ti, widx = tape
+        c = col(ti)
+        starts = cs_h[:, c]
+        counts = cn_h[:, c]
+        has = counts > 0
+        ub = np.zeros(W, np.float64)
+        if has.any():
+            mf = np.zeros(W, np.int64)
+            idx = np.flatnonzero(has)
+            red = np.maximum.reduceat(
+                np.asarray(seg.block_max_freq, np.int64), starts[idx]
+            )
+            # reduceat segments run to the next start; also include the last
+            # block of each cell (cells can overlap at window boundaries)
+            mf[idx] = np.maximum(
+                red[: len(idx)],
+                seg.block_max_freq[starts[idx] + counts[idx] - 1],
+            )
+            ub = np.where(
+                has,
+                model.score_tile(mf.astype(np.float32), w_h[widx]).astype(
+                    np.float64
+                ),
+                0.0,
+            )
+        return ub, has
+    if kind in ("and", "or"):
+        lu, lp = _tape_window_bounds(seg, tape[1], cs_h, cn_h, w_h, model, col)
+        ru, rp = _tape_window_bounds(seg, tape[2], cs_h, cn_h, w_h, model, col)
+        present = (lp & rp) if kind == "and" else (lp | rp)
+        return np.where(present, lu + ru, 0.0), present
+    if kind == "not":
+        lu, lp = _tape_window_bounds(seg, tape[1], cs_h, cn_h, w_h, model, col)
+        return lu, lp
+    if kind == "unot":
+        return np.zeros(W), np.ones(W, bool)
+    if kind == "opt":
+        cu, cp = _tape_window_bounds(seg, tape[1], cs_h, cn_h, w_h, model, col)
+        return np.where(cp, cu, 0.0), np.ones(W, bool)
+    if kind == "some":
+        _, kmin, children = tape
+        tot = np.zeros(W, np.float64)
+        cnt = np.zeros(W, np.int64)
+        for ch in children:
+            cu, cp = _tape_window_bounds(seg, ch, cs_h, cn_h, w_h, model, col)
+            tot += cu
+            cnt += cp
+        present = cnt >= kmin
+        return np.where(present, tot, 0.0), present
+    if kind == "false":
+        return np.zeros(W), np.zeros(W, bool)
+    raise ValueError(kind)
 
 
 @functools.lru_cache(maxsize=256)
@@ -379,52 +418,12 @@ def _build_pruned_fn(tape, scorer_name, M, T, k, interpret):
         pv, pi = jax.lax.top_k(scores, k)  # (M, k)
         return pv.reshape(-1), (gid[:, 0][:, None] + pi).reshape(-1)
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_pruned_fn", tape, scorer_name, M, T, k, interpret)
 
 
 def deleted_take(deleted, gid, jnp):
     """Gather ~deleted at global ids (pruned path evaluates a window subset)."""
     return ~deleted[gid]
-
-
-def _window_upper_bounds(seg, flat, cs_h, cn_h, w_h, model, col):
-    """Per-window score upper bound for a flat AND/OR token tape, from
-    per-block max frequencies (the WAND bound, docset_iterators.h:38-60).
-    col(ti) maps a tape slot to its cs/cn column (batch layouts interleave
-    queries). Over-inclusive at window boundaries — safe for an upper
-    bound."""
-    W = cs_h.shape[0]
-    ub = np.zeros(W, np.float64)
-    for ti, widx in flat[1]:
-        c = col(ti)
-        starts = cs_h[:, c]
-        counts = cn_h[:, c]
-        has = counts > 0
-        if not has.any():
-            continue
-        mf = np.zeros(W, np.int64)
-        idx = np.flatnonzero(has)
-        red = np.maximum.reduceat(
-            np.asarray(seg.block_max_freq, np.int64),
-            starts[idx],
-        ) if len(idx) else np.zeros(0, np.int64)
-        # reduceat segments run to the next start; also include the last
-        # block of each cell (cells can overlap at window boundaries)
-        mf[idx] = np.maximum(
-            red[: len(idx)],
-            seg.block_max_freq[starts[idx] + counts[idx] - 1],
-        )
-        ub += np.where(
-            has, model.score_tile(mf.astype(np.float32), w_h[widx]), 0.0
-        )
-    if flat[0] == "and":
-        # conjunction bound: min over terms is tighter, but the sum is
-        # still a valid upper bound; windows missing any term score 0
-        present = np.ones(W, bool)
-        for ti, _ in flat[1]:
-            present &= cn_h[:, col(ti)] > 0
-        ub = np.where(present, ub, 0.0)
-    return ub
 
 
 @functools.lru_cache(maxsize=256)
@@ -465,7 +464,7 @@ def _build_pruned_batch_fn(tape, scorer_name, M, T, B, k, interpret):
         )
         return jnp.concatenate([gv, gdoc.astype(jnp.float32)], axis=0)
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_pruned_batch_fn", tape, scorer_name, M, T, B, k, interpret)
 
 
 @functools.lru_cache(maxsize=512)
@@ -507,7 +506,7 @@ def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
         gv, gi = jax.lax.top_k(scores.reshape(B, -1), k)  # flat: docid ties
         return gv, gi
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_batch_fn", tape, scorer_name, W, T, B, k, interpret)
 
 
 @functools.lru_cache(maxsize=256)
@@ -577,7 +576,7 @@ def _build_phrase_lazy_fused(
         resolved = (~overflow) | (kth > thresh)
         return gv, gi, resolved
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_phrase_lazy_fused", slots, W, T, B, C2, fcaps, scorer_name, k, interpret, no_overflow)
 
 
 @functools.lru_cache(maxsize=256)
@@ -618,7 +617,7 @@ def _build_phrase_lazy_a(slots, W, T, B, C2, interpret):
         overflow = (bound > 0).sum(axis=1) > C2
         return ki, kb.astype(jnp.int32), pf, po, overflow
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_phrase_lazy_a", slots, W, T, B, C2, interpret)
 
 
 def _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp):
@@ -672,7 +671,7 @@ def _build_phrase_batch_a(phrase_slots, W, T, B, C, interpret):
         per_phrase = _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp)
         return freq, per_phrase
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_phrase_batch_a", phrase_slots, W, T, B, C, interpret)
 
 
 @functools.lru_cache(maxsize=512)
@@ -703,7 +702,7 @@ def _build_phrase_batch_c(tape, scorer_name, W, T, B, k, C, n_phrases, interpret
         gv, gi = jax.lax.top_k(scores.reshape(B, -1), k)  # flat: docid ties
         return gv, gi
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_phrase_batch_c", tape, scorer_name, W, T, B, k, C, n_phrases, interpret)
 
 
 @functools.lru_cache(maxsize=256)
@@ -732,7 +731,7 @@ def _build_phrase_pass_a(phrase_slots, W, T, C, interpret):
         per_phrase = _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp)
         return freq, per_phrase
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_phrase_pass_a", phrase_slots, W, T, C, interpret)
 
 
 @functools.lru_cache(maxsize=512)
@@ -764,7 +763,7 @@ def _build_phrase_pass_c(tape, scorer_name, W, T, k, C, n_phrases, interpret, mo
         scores = jnp.where(mask, score, NEG_INF)
         return jax.lax.top_k(scores.reshape(-1), k)  # flat: docid-asc ties
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_phrase_pass_c", tape, scorer_name, W, T, k, C, n_phrases, interpret, mode)
 
 
 def _phrase_c_eval(
@@ -837,7 +836,7 @@ def _build_phrase_fused(
         )
         return cnts, res
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_phrase_fused", tape, scorer_name, W, T, k, C, phrase_slots, fcaps, interpret, mode)
 
 
 @functools.lru_cache(maxsize=512)
@@ -873,7 +872,7 @@ def _build_phrase_batch_fused(
         )
         return cnts, res
 
-    return jax.jit(run)
+    return aot_jit(run, "_build_phrase_batch_fused", tape, scorer_name, W, T, B, k, C, phrase_slots, fcaps, interpret)
 
 
 class Executor:
@@ -901,19 +900,72 @@ class Executor:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
-        self.bmeta = jnp.asarray(pack_block_meta(seg))
-        self.planes = jnp.asarray(pad_planes(seg.planes))
-        # plane-packed positions stream, device-resident for fused phrase
-        # verification (one trailing zero guard row for the word-pair read)
+        # packed HOST forms; device upload is LAZY through the HBM residency
+        # manager (segment_index_source.cpp:5-186 maps on demand; here a
+        # byte budget + LRU eviction stand in for demand paging — see
+        # exec/residency.py). Accessed via the bmeta/planes/hit_pw/hit_off
+        # properties, which touch the LRU and re-upload after eviction.
+        self._bmeta_h = pack_block_meta(seg)
+        self._planes_h = pad_planes(seg.planes)
+        # plane-packed positions stream (one trailing zero guard row for
+        # the fused phrase verifier's word-pair read)
         hp = np.ascontiguousarray(seg.hit_planes, dtype=np.uint32)
-        self.hit_pw = jnp.asarray(
-            np.vstack([hp.reshape(-1, 128), np.zeros((1, 128), np.uint32)])
+        self._hit_pw_h = np.vstack(
+            [hp.reshape(-1, 128), np.zeros((1, 128), np.uint32)]
         )
-        self.hit_off = jnp.asarray(seg.hit_group_off.astype(np.int32))
+        self._hit_off_h = seg.hit_group_off.astype(np.int32)
+        self.device_bytes = (
+            self._bmeta_h.nbytes
+            + self._planes_h.nbytes
+            + self._hit_pw_h.nbytes
+            + self._hit_off_h.nbytes
+        )
+        self._dev: Optional[dict] = None
+        from trinity_tpu.exec.residency import get_residency
+
+        self._residency = get_residency()
         self._max_freq_cache: dict = {}
         self._deleted = None  # optional bool (W*WINDOW,) mask of masked docs
         self._deleted_np = None  # host copy for lazy phrase verification
         self._deleted_tiles = None  # (W, 128, 128) f32 form (fused kernel)
+
+    # ------------------------------------------------- device residency
+    def _upload(self) -> None:
+        _, jnp = _lazy_jax()
+        self._dev = {
+            "bmeta": jnp.asarray(self._bmeta_h),
+            "planes": jnp.asarray(self._planes_h),
+            "hit_pw": jnp.asarray(self._hit_pw_h),
+            "hit_off": jnp.asarray(self._hit_off_h),
+        }
+
+    def _drop_device(self) -> None:
+        self._dev = None
+
+    def evict(self) -> None:
+        """Drop this segment's device arrays (HBM freed once XLA releases
+        the buffers); the next search transparently re-uploads."""
+        self._drop_device()
+
+    @property
+    def bmeta(self):
+        self._residency.ensure(self)
+        return self._dev["bmeta"]
+
+    @property
+    def planes(self):
+        self._residency.ensure(self)
+        return self._dev["planes"]
+
+    @property
+    def hit_pw(self):
+        self._residency.ensure(self)
+        return self._dev["hit_pw"]
+
+    @property
+    def hit_off(self):
+        self._residency.ensure(self)
+        return self._dev["hit_off"]
 
     # ------------------------------------------------------------ plumbing
     def set_masked_local_docs(self, local_ids: Optional[np.ndarray]):
@@ -1032,17 +1084,56 @@ class Executor:
         )
 
     def warmup(self, queries, k: int = 10, scorer: str = "bm25",
-               batch: bool = True) -> None:
+               batch: bool = True, threads: int = 8) -> dict:
         """Compile (or load from the persistent cache) every device-program
         variant the given workload can touch, so serving latency never pays
         an XLA compile. The reference executes any query shape with zero
         compile cost (exec.cpp:662-666); here compiled programs are keyed by
         (tape shape, geometry, candidate/fcap buckets), so a serving process
-        should warm with a representative query sample at startup."""
-        for q in queries:
-            self.search(q, k=k, scorer=scorer)
-        if batch:
-            self.search_batch(list(queries), k=k, scorer=scorer)
+        should warm with a representative query sample at startup.
+
+        Queries are DEDUPED by tape (same tape -> same program variant) and
+        compiled on a thread pool: XLA/PJRT compiles release the GIL (on the
+        axon backend they are remote RPCs), so distinct variants compile
+        CONCURRENTLY — warmup wall tracks the slowest variant, not the sum.
+        Returns {"programs", "seconds"} for BENCH metadata."""
+        import concurrent.futures as cf
+        import time as _time
+
+        from trinity_tpu.utils.metrics import get_metrics
+
+        def _count():
+            snap = get_metrics().snapshot()
+            return sum(
+                v["value"]
+                for kk, v in snap.items()
+                if kk in ("aot.compiled", "aot.loaded")
+            )
+
+        t0 = _time.time()
+        before = _count()
+        qs = list(queries)
+        reps: dict = {}
+        for q in qs:
+            prep = self._prepare(q, scorer, None, None)
+            if prep is not None:
+                reps.setdefault(prep[0].tape, q)
+        uniq = list(reps.values())
+        with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
+            futs = [
+                pool.submit(self.search, q, k, scorer) for q in uniq
+            ]
+            if batch and qs:
+                futs.append(pool.submit(self.search_batch, qs, k, scorer))
+            for f in futs:
+                f.result()
+        return {
+            # aot-tracked compile/load events (0 when the cache is off);
+            # variants = deduped workload shapes actually driven
+            "programs": _count() - before,
+            "variants": len(uniq) + (1 if batch and qs else 0),
+            "seconds": _time.time() - t0,
+        }
 
     # -------------------------------------------------------------- search
     def launch(self, query, k=10, scorer="bm25", stats=None, df_of=None):
@@ -1151,8 +1242,7 @@ class Executor:
         if prep is None:
             return []
         plan, cs, cn, weights = prep
-        flat = _pruned_bound_slots(plan.tape)
-        if flat is None or plan.has_phrase:
+        if plan.has_phrase:
             return self.search(query, k, scorer, stats, df_of)
         seg = self.seg
         W = seg.n_windows
@@ -1160,8 +1250,8 @@ class Executor:
         cn_h = np.asarray(cn)
         model = SIMILARITIES[scorer]
         w_h = np.asarray(weights)
-        ub = _window_upper_bounds(
-            seg, flat, cs_h, cn_h, w_h, model, col=lambda ti: ti
+        ub, _ = _tape_window_bounds(
+            seg, plan.tape, cs_h, cn_h, w_h, model, col=lambda ti: ti
         )
         order = np.argsort(-ub, kind="stable").astype(np.int32)
         results_v = np.zeros(0, np.float32)
@@ -1251,7 +1341,7 @@ class Executor:
         for qi, plan in enumerate(parsed):
             if plan is None:
                 continue
-            if plan.has_phrase or _pruned_bound_slots(plan.tape) is None:
+            if plan.has_phrase:
                 fallback_idx.append(qi)
                 continue
             groups.setdefault(plan.tape, []).append((qi, plan))
@@ -1264,7 +1354,6 @@ class Executor:
                 results[qi] = res
         buckets = get_config().batch_buckets
         for key, members in groups.items():
-            flat = _pruned_bound_slots(key)
             T = _pad_T(members[0][1].n_slots)
             nw = len(members[0][1].weight_terms)
             B = (
@@ -1286,8 +1375,8 @@ class Executor:
                     model.weight([df_of(t) for t in terms], docs_cnt)
                     for terms in plan.weight_terms
                 ]
-                ub[bi] = _window_upper_bounds(
-                    seg, flat, cs, cn, weights[bi], model,
+                ub[bi], _ = _tape_window_bounds(
+                    seg, key, cs, cn, weights[bi], model,
                     col=lambda ti, b=bi: b * T + ti,
                 )
             order = np.argsort(-ub.max(axis=0), kind="stable").astype(np.int32)
