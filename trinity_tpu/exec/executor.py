@@ -1113,25 +1113,24 @@ class Executor:
         t0 = _time.time()
         before = _count()
         qs = list(queries)
-        reps: dict = {}
-        for q in qs:
-            prep = self._prepare(q, scorer, None, None)
-            if prep is not None:
-                reps.setdefault(prep[0].tape, q)
-        uniq = list(reps.values())
+        # EVERY query goes through, not a tape-deduped sample: program
+        # variants are keyed by more than the tape (phrase C2/fcap ladder
+        # buckets, pruned-chunk geometry, mode), so a representative probe
+        # per tape misses variants that would then compile INSIDE the
+        # serving loop (observed: 14 s p99 from one in-loop phrase-ladder
+        # compile). Variant dedup happens in the builder lru caches and
+        # the per-variant _AotJit compile locks — duplicate submissions
+        # block on the first compile, then run in microseconds.
         with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
-            futs = [
-                pool.submit(self.search, q, k, scorer) for q in uniq
-            ]
+            futs = [pool.submit(self.search, q, k, scorer) for q in qs]
             if batch and qs:
                 futs.append(pool.submit(self.search_batch, qs, k, scorer))
             for f in futs:
                 f.result()
         return {
-            # aot-tracked compile/load events (0 when the cache is off);
-            # variants = deduped workload shapes actually driven
+            # aot-tracked compile/load events (0 when the cache is off)
             "programs": _count() - before,
-            "variants": len(uniq) + (1 if batch and qs else 0),
+            "variants": len(qs) + (1 if batch and qs else 0),
             "seconds": _time.time() - t0,
         }
 

@@ -54,17 +54,13 @@ def _parallel_warmup(target, queries, k, scorer, batch, threads) -> dict:
     t0 = _time.time()
     before = _count()
     qs = list(queries)
-    reps: dict = {}
-    for q in qs:
-        parsed = parse_query(q) if isinstance(q, str) else q
-        root = parsed.root if isinstance(parsed, Query) else parsed
-        if root is None:
-            continue
-        reps.setdefault(compile_plan(root).tape, q)
-    uniq = list(reps.values())
+    # every query, not a tape-deduped sample — variants are keyed by more
+    # than the tape (phrase ladders, geometry buckets); duplicates dedupe
+    # in the builder caches + per-variant _AotJit locks (see
+    # Executor.warmup)
     with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
         futs = [
-            pool.submit(target.search, q, k=k, scorer=scorer) for q in uniq
+            pool.submit(target.search, q, k=k, scorer=scorer) for q in qs
         ]
         if batch and qs:
             futs.append(
@@ -73,10 +69,9 @@ def _parallel_warmup(target, queries, k, scorer, batch, threads) -> dict:
         for f in futs:
             f.result()
     return {
-        # aot-tracked compile/load events (0 when the cache is off);
-        # variants = deduped workload shapes actually driven
+        # aot-tracked compile/load events (0 when the cache is off)
         "programs": _count() - before,
-        "variants": len(uniq) + (1 if batch and qs else 0),
+        "variants": len(qs) + (1 if batch and qs else 0),
         "seconds": _time.time() - t0,
     }
 

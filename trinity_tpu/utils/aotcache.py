@@ -87,6 +87,8 @@ class _AotJit:
         self._jit = jax.jit(fn)
         self._key_parts = key_parts
         self._loaded: dict = {}
+        self._locks: dict = {}
+        self._locks_guard = threading.Lock()
 
     # jitted-callable conveniences used by a few callers
     def lower(self, *args):
@@ -104,31 +106,65 @@ class _AotJit:
         ak = _aval_key(args)
         comp = self._loaded.get(ak)
         if comp is None:
-            comp = self._load_or_compile(cache_dir, ak, args)
-            self._loaded[ak] = comp
+            # per-variant compile lock: warmup drives the whole workload on
+            # a thread pool, so concurrent calls that resolve to the SAME
+            # executable must not both pay the compile — the first caller
+            # compiles, the rest block then reuse it
+            with self._locks_guard:
+                lock = self._locks.setdefault(ak, threading.Lock())
+            with lock:
+                comp = self._loaded.get(ak)
+                if comp is None:
+                    comp, from_disk = self._load_or_compile(
+                        cache_dir, ak, args
+                    )
+                    if from_disk:
+                        # a deserialized executable can be subtly
+                        # incompatible with THIS process's device topology
+                        # (observed: an executable compiled on 1 of 8
+                        # virtual CPU devices deserializes as an 8-shard
+                        # program); validate with one real execution and
+                        # fall back to a fresh compile on failure
+                        try:
+                            out = comp(*args)
+                            self._loaded[ak] = comp
+                            return out
+                        except Exception:  # noqa: BLE001
+                            from trinity_tpu.utils.metrics import get_metrics
+
+                            get_metrics().count("aot.exec_failed")
+                            comp = self._compile_and_persist(
+                                cache_dir, ak, args
+                            )
+                    self._loaded[ak] = comp
         return comp(*args)
 
-    def _load_or_compile(self, cache_dir, ak, args):
+    def _cache_path(self, cache_dir, ak):
         import jax
 
-        from trinity_tpu.utils.metrics import get_metrics
-
-        dev = jax.devices()[0]
+        devs = jax.devices()
         full_key = repr(
             (
                 _source_digest(),
                 jax.__version__,
                 jax.default_backend(),
-                getattr(dev, "device_kind", "?"),
+                getattr(devs[0], "device_kind", "?"),
+                len(devs),  # topology: an executable binds device counts
                 self._key_parts,
                 ak,
             )
         )
         digest = hashlib.sha256(full_key.encode()).hexdigest()
-        os.makedirs(cache_dir, exist_ok=True)
-        path = os.path.join(cache_dir, f"{digest}.exe")
+        return os.path.join(cache_dir, f"{digest}.exe")
+
+    def _load_or_compile(self, cache_dir, ak, args):
+        """Returns (compiled, from_disk)."""
         import time as _time
 
+        from trinity_tpu.utils.metrics import get_metrics
+
+        os.makedirs(cache_dir, exist_ok=True)
+        path = self._cache_path(cache_dir, ak)
         if os.path.exists(path):
             try:
                 from jax.experimental import serialize_executable as se
@@ -141,9 +177,17 @@ class _AotJit:
                 get_metrics().observe_us(
                     "aot.load_s", (_time.perf_counter() - t0) * 1e6
                 )
-                return comp
+                return comp, True
             except Exception:  # noqa: BLE001 — fall through to compile
                 get_metrics().count("aot.load_failed")
+        return self._compile_and_persist(cache_dir, ak, args), False
+
+    def _compile_and_persist(self, cache_dir, ak, args):
+        import time as _time
+
+        from trinity_tpu.utils.metrics import get_metrics
+
+        path = self._cache_path(cache_dir, ak)
         t0 = _time.perf_counter()
         comp = self._jit.lower(*args).compile()
         get_metrics().count("aot.compiled")
