@@ -51,7 +51,7 @@ from trinity_tpu.ops.postings import (
     META_COLS,
     META_ROWS,
     ROWS_FIXED,
-    _decode_cells_pipelined,
+    _decode_cells_dbuf,
 )
 
 NEG_INF = float("-inf")
@@ -143,7 +143,8 @@ def _qgroup(B: int, U: int, interpret: bool = False) -> int:
     return 1
 
 
-def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG):
+def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
+                       nBG):
     scorer_cls = SIMILARITIES[scorer_name]
     U = len(used)
 
@@ -157,22 +158,35 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG):
         out_ref, rmax_ref, tiles_s, metas_s, rowss_s, sems = rest
         w = pl.program_id(0)
         bg = pl.program_id(1)
+        nW = pl.num_programs(0)
         wbase = wbase_ref[w] * WINDOW_SIZE
-        # software-pipelined decode of ALL QG queries' used slots in one
-        # schedule: every meta DMA goes into flight before any is awaited,
-        # then every planes DMA — the per-decode serialized DMA round
-        # trips were the kernel's dominant cost (~3.3 us/decode fixed vs
-        # ~0.15 us/block of actual decode), so batching QG queries per
-        # grid step divides that fixed cost by QG.
-        cells = [
-            (cs_ref[w, (bg * QG + qg) * T + t], cn_ref[w, (bg * QG + qg) * T + t])
-            for qg in range(QG)
-            for t in used
-        ]
-        _decode_cells_pipelined(
+        # cross-grid-step double-buffered decode of ALL QG queries' used
+        # slots: QG cells per wave divides the per-decode DMA fixed cost
+        # (~3.3 us measured), and the two-bank scratch prefetches the NEXT
+        # grid step's meta+plane DMAs behind this step's decode compute —
+        # the serialized meta-wait -> planes-issue -> planes-wait chain
+        # (~30% of a step at GROUP=2) runs concurrently with the MXU/VPU
+        # work of the previous step (ops/postings.py:_decode_cells_dbuf).
+        def cells_at(w_, bg_):
+            return [
+                (
+                    cs_ref[w_, (bg_ * QG + qg) * T + t],
+                    cn_ref[w_, (bg_ * QG + qg) * T + t],
+                )
+                for qg in range(QG)
+                for t in used
+            ]
+
+        step = w * nBG + bg
+        last = step >= nW * nBG - 1
+        adv = bg + 1 < nBG
+        w2 = jnp.where(adv, w, jnp.minimum(w + 1, nW - 1))
+        bg2 = jnp.where(adv, bg + 1, 0)
+        _decode_cells_dbuf(
             bmeta_ref, planes_ref,
             [tiles_s.at[ci] for ci in range(QG * U)],
-            metas_s, rowss_s, sems, cells, wbase, group,
+            metas_s, rowss_s, sems,
+            cells_at(w, bg), cells_at(w2, bg2), step, last, wbase, group,
         )
         # local docid of tile[h, l] is h*128 + l (docid-major layout)
         lid = (
@@ -232,7 +246,7 @@ def fused_score_tiles(
     group = GROUP_INTERPRET if interpret else GROUP
     QG = _qgroup(B, len(used), interpret)
     kernel = _make_score_kernel(
-        tape, used, scorer_name, T, group, deleted is not None, QG
+        tape, used, scorer_name, T, group, deleted is not None, QG, B // QG
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -253,12 +267,14 @@ def fused_score_tiles(
         ),
         scratch_shapes=[
             pltpu.VMEM((nc, TILE, TILE), jnp.float32),
+            # two banks: the double-buffered decode prefetches the next
+            # grid step's meta+plane DMAs while this step computes
             pltpu.SMEM(
-                (nc, META_ROWS, META_PER_ROW * META_COLS),
+                (2, nc, META_ROWS, META_PER_ROW * META_COLS),
                 jnp.int32,
             ),
-            pltpu.VMEM((nc, ROWS_FIXED, TILE), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2 * nc,)),
+            pltpu.VMEM((2, nc, ROWS_FIXED, TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2 * nc)),
         ],
     )
     wbase = jnp.arange(W, dtype=jnp.int32)

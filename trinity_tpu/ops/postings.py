@@ -88,12 +88,14 @@ def _tgroup(T: int, interpret: bool = False) -> int:
     return 1
 
 
-def _make_kernel(with_offsets: bool, group: int = GROUP, TG: int = 1):
+def _make_kernel(with_offsets: bool, group: int = GROUP, TG: int = 1,
+                 nTG: int = 1):
     """Kernel factory: with_offsets adds a hits-offset tile output (the
     device analog of the skiplist's totalHitsSoFar addressing,
     lucene_codec.h:259-266) so phrase verification can gather each matched
-    posting's position run. Offsets are scattered exactly via two f32
-    matmuls (hi = off >> 12 < 2^19 and lo = off & 4095 are both < 2^24)."""
+    posting's position run. Offsets are scattered exactly via base-256
+    byte-plane matmuls (see _decode_groups). nTG = grid extent of the term
+    axis (the double-buffered decode needs the linear step index)."""
 
     def kernel(cell_start_ref, cell_nblocks_ref, wbase_ref, bmeta_ref, planes_ref, *rest):
         if with_offsets:
@@ -103,15 +105,28 @@ def _make_kernel(with_offsets: bool, group: int = GROUP, TG: int = 1):
             off_ref = None
         w = pl.program_id(0)
         tg = pl.program_id(1)
+        nW = pl.num_programs(0)
         wbase = wbase_ref[w] * WINDOW_SIZE
-        cells = [
-            (cell_start_ref[w, tg * TG + i], cell_nblocks_ref[w, tg * TG + i])
-            for i in range(TG)
-        ]
-        _decode_cells_pipelined(
+
+        def cells_at(w_, tg_):
+            return [
+                (
+                    cell_start_ref[w_, tg_ * TG + i],
+                    cell_nblocks_ref[w_, tg_ * TG + i],
+                )
+                for i in range(TG)
+            ]
+
+        step = w * nTG + tg
+        last = step >= nW * nTG - 1
+        adv = tg + 1 < nTG
+        w2 = jnp.where(adv, w, jnp.minimum(w + 1, nW - 1))
+        tg2 = jnp.where(adv, tg + 1, 0)
+        _decode_cells_dbuf(
             bmeta_ref, planes_ref,
             [out_ref.at[0, i] for i in range(TG)],
-            metas_s, rowss_s, sems, cells, wbase, group,
+            metas_s, rowss_s, sems,
+            cells_at(w, tg), cells_at(w2, tg2), step, last, wbase, group,
             off_refs=(
                 [off_ref.at[0, i] for i in range(TG)] if with_offsets else None
             ),
@@ -210,6 +225,97 @@ def _decode_cells_pipelined(
             tile_refs[ui][...] = tiles[0].reshape(tile_refs[ui].shape)
             if off_refs is not None:
                 off_refs[ui][...] = tiles[1].reshape(off_refs[ui].shape)
+
+
+def _decode_cells_dbuf(
+    bmeta_ref, planes_ref, tile_refs, metas_s, rowss_s, sems,
+    cur_cells, nxt_cells, step, last_step, wbase, GROUP, off_refs=None,
+):
+    """Cross-grid-step DOUBLE-BUFFERED decode of U cells.
+
+    _decode_cells_pipelined overlaps the U cells' DMAs within one grid
+    step, but each step still serializes meta-wait -> planes-issue ->
+    planes-wait -> decode: the full DMA chain latency lands between every
+    step's compute (measured ~30% of a fused-score step at GROUP=2). TPU
+    scratch persists across grid steps, so this variant keeps TWO banks of
+    (meta, plane) scratch and pipelines ACROSS steps:
+
+      step s:  [first step only: bring bank p up synchronously]
+               issue next step's meta DMAs into bank 1-p
+               wait bank p's plane DMAs (issued at step s-1)
+               decode cell 0 of bank p          <- hides next metas' latency
+               wait next metas; issue next step's plane DMAs into bank 1-p
+               decode cells 1..U-1 of bank p    <- hides next planes' latency
+
+    metas_s: (2, U, META_ROWS, META_PER_ROW*META_COLS) SMEM;
+    rowss_s: (2, U, ROWS_FIXED, TILE) VMEM; sems: (2, 2U) DMA semaphores.
+    cur_cells/nxt_cells: [(b0, nblocks)] for this and the next grid step
+    (nxt ignored when last_step); step: linear step index (parity picks the
+    bank). The caller guarantees cells_at(step+1) == next step's cur_cells
+    (same scalar-prefetch reads), so DMA descriptors match at issue/wait.
+    """
+    U = len(cur_cells)
+    p = jax.lax.rem(step, 2)
+    q = 1 - p
+
+    def issue_metas(bank, cells):
+        for ui, (b0, n) in enumerate(cells):
+            @pl.when(n > 0)
+            def _(ui=ui, b0=b0):
+                _start_meta_dma(
+                    bmeta_ref, metas_s.at[bank, ui], sems.at[bank, 2 * ui], b0
+                )
+
+    def wait_metas_issue_planes(bank, cells):
+        for ui, (b0, n) in enumerate(cells):
+            @pl.when(n > 0)
+            def _(ui=ui, b0=b0):
+                _wait_meta_dma(
+                    bmeta_ref, metas_s.at[bank, ui], sems.at[bank, 2 * ui], b0
+                )
+                r0 = _meta_accessor(metas_s.at[bank, ui], b0)(0, C_POFF) // 32
+                _start_planes_dma(
+                    planes_ref, rowss_s.at[bank, ui],
+                    sems.at[bank, 2 * ui + 1], r0,
+                )
+
+    @pl.when(step == 0)
+    def _():
+        issue_metas(p, cur_cells)
+        wait_metas_issue_planes(p, cur_cells)
+
+    @pl.when(~last_step)
+    def _():
+        issue_metas(q, nxt_cells)
+
+    def decode_cell(ui, b0, n):
+        meta = _meta_accessor(metas_s.at[p, ui], b0)
+        tile_refs[ui][...] = jnp.zeros(tile_refs[ui].shape, jnp.float32)
+        if off_refs is not None:
+            off_refs[ui][...] = jnp.zeros(off_refs[ui].shape, jnp.int32)
+
+        @pl.when(n > 0)
+        def _():
+            r0 = meta(0, C_POFF) // 32
+            _wait_planes_dma(
+                planes_ref, rowss_s.at[p, ui], sems.at[p, 2 * ui + 1], r0
+            )
+            tiles = _decode_groups(
+                meta, rowss_s.at[p, ui], r0, n, wbase, GROUP,
+                off_refs is not None,
+            )
+            tile_refs[ui][...] = tiles[0].reshape(tile_refs[ui].shape)
+            if off_refs is not None:
+                off_refs[ui][...] = tiles[1].reshape(off_refs[ui].shape)
+
+    decode_cell(0, cur_cells[0][0], cur_cells[0][1])
+
+    @pl.when(~last_step)
+    def _():
+        wait_metas_issue_planes(q, nxt_cells)
+
+    for ui in range(1, U):
+        decode_cell(ui, cur_cells[ui][0], cur_cells[ui][1])
 
 
 def _decode_groups(meta, rows_s, r0, n, wbase, GROUP, want_offsets):
@@ -418,13 +524,20 @@ def materialize_freq_tiles(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.SMEM((TG, META_ROWS, META_PER_ROW * META_COLS), jnp.int32),
-            pltpu.VMEM((TG, MAXROWS + 40, TILE), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2 * TG,)),
+            # two banks: next grid step's meta+plane DMAs prefetch behind
+            # this step's decode (_decode_cells_dbuf)
+            pltpu.SMEM(
+                (2, TG, META_ROWS, META_PER_ROW * META_COLS), jnp.int32
+            ),
+            pltpu.VMEM((2, TG, MAXROWS + 40, TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2 * TG)),
         ],
     )
     return pl.pallas_call(
-        _make_kernel(with_offsets, GROUP_INTERPRET if interpret else GROUP, TG),
+        _make_kernel(
+            with_offsets, GROUP_INTERPRET if interpret else GROUP, TG,
+            n_terms // TG,
+        ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
