@@ -931,13 +931,18 @@ class Executor:
 
     # ------------------------------------------------- device residency
     def _upload(self) -> None:
-        _, jnp = _lazy_jax()
-        self._dev = {
-            "bmeta": jnp.asarray(self._bmeta_h),
-            "planes": jnp.asarray(self._planes_h),
-            "hit_pw": jnp.asarray(self._hit_pw_h),
-            "hit_off": jnp.asarray(self._hit_off_h),
-        }
+        jax, jnp = _lazy_jax()
+        # ensure_compile_time_eval: the first touch of .bmeta/.planes may
+        # happen inside a jit trace (a caller passing executor arrays into
+        # its own traced function) — the uploads must be CONCRETE device
+        # arrays, never tracers captured into _dev (a tracer leak)
+        with jax.ensure_compile_time_eval():
+            self._dev = {
+                "bmeta": jnp.asarray(self._bmeta_h),
+                "planes": jnp.asarray(self._planes_h),
+                "hit_pw": jnp.asarray(self._hit_pw_h),
+                "hit_off": jnp.asarray(self._hit_off_h),
+            }
 
     def _drop_device(self) -> None:
         self._dev = None

@@ -284,7 +284,9 @@ def _build_rich_fn(relaxed_tape, W, T, C, interpret):
         )
         return ki, valid, cnt, pf, po
 
-    return jax.jit(run)
+    from trinity_tpu.utils.aotcache import aot_jit
+
+    return aot_jit(run, "_build_rich_fn", relaxed_tape, W, T, C, interpret)
 
 
 def exec_rich(

@@ -51,7 +51,9 @@ from trinity_tpu.ops.postings import (
     META_COLS,
     META_ROWS,
     ROWS_FIXED,
+    USE_DBUF,
     _decode_cells_dbuf,
+    _decode_cells_pipelined,
 )
 
 NEG_INF = float("-inf")
@@ -177,17 +179,25 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
                 for t in used
             ]
 
-        step = w * nBG + bg
-        last = step >= nW * nBG - 1
-        adv = bg + 1 < nBG
-        w2 = jnp.where(adv, w, jnp.minimum(w + 1, nW - 1))
-        bg2 = jnp.where(adv, bg + 1, 0)
-        _decode_cells_dbuf(
-            bmeta_ref, planes_ref,
-            [tiles_s.at[ci] for ci in range(QG * U)],
-            metas_s, rowss_s, sems,
-            cells_at(w, bg), cells_at(w2, bg2), step, last, wbase, group,
-        )
+        if not USE_DBUF:
+            _decode_cells_pipelined(
+                bmeta_ref, planes_ref,
+                [tiles_s.at[ci] for ci in range(QG * U)],
+                metas_s.at[0], rowss_s.at[0], sems.at[0],
+                cells_at(w, bg), wbase, group,
+            )
+        else:
+            step = w * nBG + bg
+            last = step >= nW * nBG - 1
+            adv = bg + 1 < nBG
+            w2 = jnp.where(adv, w, jnp.minimum(w + 1, nW - 1))
+            bg2 = jnp.where(adv, bg + 1, 0)
+            _decode_cells_dbuf(
+                bmeta_ref, planes_ref,
+                [tiles_s.at[ci] for ci in range(QG * U)],
+                metas_s, rowss_s, sems,
+                cells_at(w, bg), cells_at(w2, bg2), step, last, wbase, group,
+            )
         # local docid of tile[h, l] is h*128 + l (docid-major layout)
         lid = (
             jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) * TILE

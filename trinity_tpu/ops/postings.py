@@ -35,7 +35,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from trinity_tpu.limits import TILE, WINDOW_SIZE
+
+# cross-grid-step DMA double buffering (see _decode_cells_dbuf). The env
+# toggle exists for A/B kernel profiling in one process (tools/ab_dbuf.py);
+# production always runs the double-buffered path.
+USE_DBUF = os.environ.get("TRINITY_DBUF", "1") != "0"
 
 # Hard bounds for one (window, term) cell. A window holds 16384 docids, so at
 # most 128 full blocks + boundary partials can overlap it (middle blocks are
@@ -117,6 +124,17 @@ def _make_kernel(with_offsets: bool, group: int = GROUP, TG: int = 1,
                 for i in range(TG)
             ]
 
+        off_refs = (
+            [off_ref.at[0, i] for i in range(TG)] if with_offsets else None
+        )
+        if not USE_DBUF:
+            _decode_cells_pipelined(
+                bmeta_ref, planes_ref,
+                [out_ref.at[0, i] for i in range(TG)],
+                metas_s.at[0], rowss_s.at[0], sems.at[0],
+                cells_at(w, tg), wbase, group, off_refs=off_refs,
+            )
+            return
         step = w * nTG + tg
         last = step >= nW * nTG - 1
         adv = tg + 1 < nTG
@@ -127,9 +145,7 @@ def _make_kernel(with_offsets: bool, group: int = GROUP, TG: int = 1,
             [out_ref.at[0, i] for i in range(TG)],
             metas_s, rowss_s, sems,
             cells_at(w, tg), cells_at(w2, tg2), step, last, wbase, group,
-            off_refs=(
-                [off_ref.at[0, i] for i in range(TG)] if with_offsets else None
-            ),
+            off_refs=off_refs,
         )
 
     return kernel

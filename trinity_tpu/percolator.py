@@ -344,7 +344,9 @@ def _eval_fn(max_ops: int, stack_depth: int):
 
         return jax.vmap(per_query)(ops).T  # (D, N)
 
-    return jax.jit(run)
+    from trinity_tpu.utils.aotcache import aot_jit
+
+    return aot_jit(run, "_eval_fn", max_ops, stack_depth)
 
 
 def _eval_programs(ops: np.ndarray, incidence: np.ndarray, ph_inc: np.ndarray):

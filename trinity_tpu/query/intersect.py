@@ -61,7 +61,9 @@ def _build_mask_fn(W, T, interpret):
             outs.append(jnp.where(live, masks, 0))
         return jnp.stack(outs, axis=0)  # (nplanes, W, WINDOW)
 
-    return jax.jit(run)
+    from trinity_tpu.utils.aotcache import aot_jit
+
+    return aot_jit(run, "_build_mask_fn", W, T, interpret)
 
 
 def intersect(executor, tokens: Sequence[str]) -> List[Tuple[int, int]]:
