@@ -69,8 +69,13 @@ def chain(L):
                 bmeta, planes, carry, cnj, wts, nd, None,
                 tape=tape, scorer_name="bm25", n_windows=W,
                 n_terms=T, batch=B)
-            dep = jnp.any(rmax > 0).astype(jnp.int32) * 0
-            return csj + dep, ()
+            # runtime-zero but not provably zero: scores never exceed 1e30,
+            # yet XLA cannot fold the compare, so every iteration's kernel
+            # output feeds the next iteration's cell_start (a `* 0` here
+            # got the whole chain dead-code-eliminated: 0.16 ms/iter
+            # reported for a kernel measured at ~8 ms)
+            dep = (jnp.max(rmax) > jnp.float32(1e30)).astype(jnp.int32)
+            return carry + dep, ()
         c, _ = jax.lax.scan(body, csj, None, length=L)
         return c[0, 0]
     return run
