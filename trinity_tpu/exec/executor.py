@@ -29,6 +29,7 @@ import numpy as np
 
 from trinity_tpu.index.format import SegmentData
 from trinity_tpu.limits import WINDOW_SIZE
+from trinity_tpu.ops.select import gather_cols
 from trinity_tpu.models.similarity import SIMILARITIES
 from trinity_tpu.plan.compile import CompiledPlan, compile_plan
 from trinity_tpu.query.parser import Query, parse_query
@@ -413,7 +414,7 @@ def _build_pruned_fn(tape, scorer_name, M, T, k, interpret):
         )
         mask = mask & (gid < n_docs)
         if deleted is not None:
-            mask = mask & deleted_take(deleted, gid, jnp)
+            mask = mask & deleted_take(deleted, window_base, jnp)
         scores = jnp.where(mask, score, NEG_INF)
         pv, pi = jax.lax.top_k(scores, k)  # (M, k)
         return pv.reshape(-1), (gid[:, 0][:, None] + pi).reshape(-1)
@@ -421,9 +422,11 @@ def _build_pruned_fn(tape, scorer_name, M, T, k, interpret):
     return aot_jit(run, "_build_pruned_fn", tape, scorer_name, M, T, k, interpret)
 
 
-def deleted_take(deleted, gid, jnp):
-    """Gather ~deleted at global ids (pruned path evaluates a window subset)."""
-    return ~deleted[gid]
+def deleted_take(deleted, window_base, jnp):
+    """Gather ~deleted for a window subset (pruned path) as ROW gathers:
+    each window is a contiguous WINDOW_SIZE-doc range, so this is M row
+    pulls instead of M*16384 element gathers (~7 ns/element on v5e)."""
+    return ~deleted.reshape(-1, WINDOW_SIZE)[window_base]
 
 
 @functools.lru_cache(maxsize=256)
@@ -451,7 +454,7 @@ def _build_pruned_batch_fn(tape, scorer_name, M, T, B, k, interpret):
         )  # (M, N)
         mask = mask & (gid < n_docs)[None]
         if deleted is not None:
-            mask = mask & deleted_take(deleted, gid, jnp)[None]
+            mask = mask & deleted_take(deleted, window_base, jnp)[None]
         scores = jnp.where(mask, score, NEG_INF)  # (B, M, N)
         gv, gidx = jax.lax.top_k(scores.reshape(B, -1), k)
         w_of = gidx // WINDOW_SIZE
@@ -549,16 +552,20 @@ def _build_phrase_lazy_fused(
         ki, valid, min_kept, overflow = bound_select_candidates(
             bound, C2, vmax=min(fcaps), assume_no_overflow=no_overflow
         )
+        # row-gather + lane-extract: the element-gather form of these four
+        # pulls was +3.3 ms/iter of the 10.2 ms program (profile_phrase_r3)
         pf = jnp.stack(
-            [jnp.take_along_axis(f, ki, axis=1) for f in member_f], axis=-1
+            [gather_cols(f, ki) for f in member_f], axis=-1
         ).astype(jnp.int32)
         po = jnp.stack(
-            [jnp.take_along_axis(o, ki, axis=1) for o in member_o], axis=-1
+            [gather_cols(o, ki) for o in member_o], axis=-1
         )
         pfreq = verify_phrases_device(hit_pw, hit_off, valid, pf, po, fcaps)
         live = (pfreq > 0) & valid
         if deleted is not None:
-            live = live & ~deleted[ki]
+            live = live & ~gather_cols(
+                jnp.broadcast_to(deleted[None], (B, deleted.shape[0])), ki
+            )
         score = scorer_cls.score_tile(
             pfreq.astype(jnp.float32), weights[:, None]
         )
@@ -609,10 +616,10 @@ def _build_phrase_lazy_a(slots, W, T, B, C2, interpret):
             bound = jnp.minimum(bound, f)  # 0 if any member missing
         kb, ki = jax.lax.top_k(bound, C2)  # (B, C2), ties -> lower docid
         pf = jnp.stack(
-            [jnp.take_along_axis(f, ki, axis=1) for f in member_f], axis=-1
+            [gather_cols(f, ki) for f in member_f], axis=-1
         ).astype(jnp.int32)
         po = jnp.stack(
-            [jnp.take_along_axis(o, ki, axis=1) for o in member_o], axis=-1
+            [gather_cols(o, ki) for o in member_o], axis=-1
         )
         overflow = (bound > 0).sum(axis=1) > C2
         return ki, kb.astype(jnp.int32), pf, po, overflow
@@ -637,11 +644,11 @@ def _phrase_a_eval(freq, offv, phrase_slots, C, jax, jnp):
         valid = kv > 0
         cnt = m.sum(axis=-1)
         pf = jnp.stack(
-            [jnp.take_along_axis(freq[..., s, :], ki, axis=-1) for s in slots],
+            [gather_cols(freq[..., s, :], ki) for s in slots],
             axis=-1,
         ).astype(jnp.int32)
         po = jnp.stack(
-            [jnp.take_along_axis(offv[..., s, :], ki, axis=-1) for s in slots],
+            [gather_cols(offv[..., s, :], ki) for s in slots],
             axis=-1,
         )
         per_phrase.append((ki, valid, cnt, pf, po))

@@ -25,6 +25,7 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from trinity_tpu.limits import MAX_POSITION, WINDOW_SIZE
+from trinity_tpu.ops.select import gather_cols
 
 
 class AbortSearch(Exception):
@@ -275,11 +276,11 @@ def _build_rich_fn(relaxed_tape, W, T, C, interpret):
         valid = kv > 0
         cnt = mask.sum(axis=1)
         pf = jnp.stack(
-            [jnp.take_along_axis(freq[:, s, :], ki, axis=1) for s in range(T)],
+            [gather_cols(freq[:, s, :], ki) for s in range(T)],
             axis=-1,
         ).astype(jnp.int32)
         po = jnp.stack(
-            [jnp.take_along_axis(offv[:, s, :], ki, axis=1) for s in range(T)],
+            [gather_cols(offv[:, s, :], ki) for s in range(T)],
             axis=-1,
         )
         return ki, valid, cnt, pf, po

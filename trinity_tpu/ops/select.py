@@ -26,7 +26,14 @@ bandwidth-bound streams over the bound array instead of a sort network.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# Row-gather + lane-extract for all (B, n)-domain column gathers (see
+# gather_cols). Toggle exists for one-process A/B profiling only
+# (tools/ab_gather.py); production always runs the row-gather path.
+USE_ROWGATHER = os.environ.get("TRINITY_ROWGATHER", "1") != "0"
 
 
 def bound_select_candidates(bound, C2: int, vmax: int,
@@ -88,6 +95,39 @@ def bound_select_candidates(bound, C2: int, vmax: int,
 
 
 LBLK = 128  # compaction block width (one lane register row)
+
+
+def gather_cols(arr, ki):
+    """arr[..., ki] along the last axis — WITHOUT element gathers.
+
+    Element gathers on v5e cost ~7 ns/element whether expressed flat or as
+    take_along_axis (measured, CLAUDE.md): the four (B, 1M) -> (B, C2)
+    member pf/po gathers alone were +3.3 ms of the 10.2 ms fused phrase
+    program (tools/profile_phrase_r3.py). Contiguous (1, 128) ROW gathers
+    are ~170x cheaper and lane extraction is an elementwise compare+reduce
+    (~2e12 el/s, effectively free), so: view the source as 128-wide rows,
+    row-gather ki // 128, compare-reduce lane ki % 128. Exact for any
+    dtype (exactly one surviving lane per output element).
+
+    arr: (..., N) with N % 128 == 0; ki: (..., C) int32 indices into the
+    last axis (leading dims must match arr's). Returns (..., C) of
+    arr.dtype. The reference walks postings cursors one doc at a time
+    (docset_iterators.cpp:66-150); this is the dense-tile equivalent of
+    materializing a candidate subset.
+    """
+    import jax.numpy as jnp
+
+    n = arr.shape[-1]
+    if not USE_ROWGATHER or n % LBLK or arr.shape[:-1] != ki.shape[:-1]:
+        return jnp.take_along_axis(arr, ki, axis=-1)
+    a3 = arr.reshape(*arr.shape[:-1], n // LBLK, LBLK)
+    rows = jnp.take_along_axis(a3, (ki // LBLK)[..., None], axis=-2)
+    lane = (ki % LBLK)[..., None] == jnp.arange(LBLK, dtype=jnp.int32)
+    if arr.dtype == jnp.bool_:
+        return jnp.any(rows & lane, axis=-1)
+    return jnp.sum(
+        jnp.where(lane, rows, jnp.zeros((), arr.dtype)), axis=-1
+    )
 
 
 def compact_mask(kept, C2: int):

@@ -53,6 +53,16 @@ def _source_digest() -> str:
         return _source_digest_cache
 
 
+def _feature_flags() -> str:
+    """Env toggles that change TRACED PROGRAMS without changing source
+    (A/B switches): they must key the executable cache or an A/B run
+    would silently load the other variant's executable."""
+    from trinity_tpu.ops.postings import USE_DBUF
+    from trinity_tpu.ops.select import USE_ROWGATHER
+
+    return f"dbuf={int(USE_DBUF)},rowgather={int(USE_ROWGATHER)}"
+
+
 def _aval_key(args) -> str:
     """Stable description of the call's input avals (None legs included)."""
     import jax
@@ -146,6 +156,7 @@ class _AotJit:
         full_key = repr(
             (
                 _source_digest(),
+                _feature_flags(),
                 jax.__version__,
                 jax.default_backend(),
                 getattr(devs[0], "device_kind", "?"),
