@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import enum
 import functools
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -218,6 +219,153 @@ def _build_fused_fn(tape, scorer_name, W, T, B, k, interpret):
     return aot_jit(run, "_build_fused_fn", tape, scorer_name, W, T, B, k, interpret)
 
 
+# ------------------------------------------------------ flat boolean path
+# Tape-INDEPENDENT kernel for flat boolean shapes: the query structure
+# rides as data (per-slot req/neg/opt flags + a k-of-n threshold), so one
+# compiled program serves every flat AND/OR/NOT/MatchSome/optional query
+# of a (T, B) bucket — the TPU analog of the reference's zero-compile-cost
+# execution of arbitrary query shapes (exec.cpp:662-666). Toggle for A/B
+# and fallback: TRINITY_FLATKERNEL=0 restores per-tape programs.
+USE_FLAT = os.environ.get("TRINITY_FLATKERNEL", "1") != "0"
+
+_FLAG_REQ, _FLAG_NEG, _FLAG_OPT = 1, 2, 4
+
+
+class _NotFlat(Exception):
+    pass
+
+
+@functools.lru_cache(maxsize=8192)
+def _flatten_tape(tape, n_slots):
+    """Flatten a boolean tape into (per-slot flags, per-slot widx, kmin),
+    or None when the shape can't be expressed flat.
+
+    Accepted shapes: left-leaning AND/NOT chains whose items are tokens,
+    opt(token), unot(token|or-chain) or not-with-token/or-chain rhs;
+    top-level OR chains of tokens; MatchSome over tokens. The grouping
+    restriction (left-leaning, right children contribute <= 1 scored leaf)
+    guarantees the kernel's slot-order f32 accumulation is bit-identical
+    to _eval_tape's tree-order accumulation — absent/unscored slots add
+    +0.0, exact for the non-negative scores. Rejected shapes (nested
+    OR-of-AND, slot reuse, phrase) keep their per-tape programs."""
+    flags: dict = {}
+    widxs: dict = {}
+    scored_order: list = []
+
+    def add(slot, bit, widx=None):
+        if slot in flags:
+            raise _NotFlat  # slot reuse (e.g. rep-dedup kept both tokens)
+        flags[slot] = bit
+        if widx is not None:
+            widxs[slot] = widx
+            scored_order.append(slot)
+
+    def negs(t):
+        # a pure negation operand: token or OR-chain (¬(a∨b) = ¬a ∧ ¬b)
+        if t[0] == "tok":
+            add(t[1], _FLAG_NEG)
+        elif t[0] == "or":
+            negs(t[1])
+            negs(t[2])
+        else:
+            raise _NotFlat
+
+    def item(t):
+        # a conjunction item contributing <= 1 scored leaf (so tree
+        # grouping == left-assoc accumulation)
+        k = t[0]
+        if k == "tok":
+            add(t[1], _FLAG_REQ, t[2])
+        elif k == "opt":
+            c = t[1]
+            if c[0] != "tok":
+                raise _NotFlat
+            add(c[1], _FLAG_OPT, c[2])
+        elif k == "unot":
+            negs(t[1])
+        elif k == "not":
+            item(t[1])
+            negs(t[2])
+        else:
+            raise _NotFlat
+
+    def conj(t):
+        k = t[0]
+        if k == "and":
+            conj(t[1])
+            item(t[2])
+        elif k == "not":
+            conj(t[1])
+            negs(t[2])
+        else:
+            item(t)
+
+    try:
+        k0 = tape[0]
+        if k0 == "or":
+
+            def orchain(t):
+                if t[0] == "or":
+                    orchain(t[1])
+                    if t[2][0] != "tok":
+                        raise _NotFlat
+                    add(t[2][1], _FLAG_REQ, t[2][2])
+                elif t[0] == "tok":
+                    add(t[1], _FLAG_REQ, t[2])
+                else:
+                    raise _NotFlat
+
+            orchain(tape)
+            kmin = 1
+        elif k0 == "some":
+            _, kmin, children = tape
+            for c in children:
+                if c[0] != "tok":
+                    raise _NotFlat
+                add(c[1], _FLAG_REQ, c[2])
+        elif k0 in ("and", "not", "tok", "opt", "unot"):
+            conj(tape)
+            kmin = sum(1 for b in flags.values() if b == _FLAG_REQ)
+        else:
+            return None
+    except _NotFlat:
+        return None
+    # slot-order accumulation must equal tree leaf order (slots are
+    # assigned at first use in traversal order, so this holds unless a
+    # widx remap reordered them — check anyway)
+    if scored_order != sorted(scored_order):
+        return None
+    if any(s >= n_slots for s in flags):
+        return None
+    return (
+        tuple(flags.get(s, 0) for s in range(n_slots)),
+        tuple(widxs.get(s, -1) for s in range(n_slots)),
+        kmin,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _build_flat_fn(scorer_name, W, T, B, k, interpret):
+    """ONE Pallas program per (T, B) bucket serving EVERY flat boolean
+    shape (structure = data): decode + flat eval + score + window maxima
+    fused, then the two-phase exact top-k."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.fusedscore import (
+        exact_window_topk,
+        fused_flat_score_tiles,
+    )
+
+    def run(bmeta, planes, cs, cn, wts, flags, kmin, n_docs, deleted):
+        scores, rmax = fused_flat_score_tiles(
+            bmeta, planes, cs, cn, wts, flags, kmin, n_docs, deleted,
+            scorer_name=scorer_name, n_windows=W, n_terms=T, batch=B,
+            interpret=interpret,
+        )
+        return exact_window_topk(scores, rmax, k)
+
+    return aot_jit(run, "_build_flat_fn", scorer_name, W, T, B, k, interpret)
+
+
 @functools.lru_cache(maxsize=512)
 def _build_search_fn(tape, scorer_name, W, T, k, interpret, mode):
     """One compiled XLA program per (plan shape, scorer, geometry, mode)."""
@@ -269,15 +417,20 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
     like this (in-process execution, exec.cpp:509); this is the TPU-tunnel
     analog of its one-call-per-query model.
 
-    spec entries: ("fused", tape, T, B) | ("dense", tape, T, B) |
-    ("lazyph", slots, T, B, C2, fcaps, no_overflow). Row layout: B rows gv,
-    B rows gi, (+ B rows resolved-flag for lazyph)."""
+    spec entries: ("fused", tape, T, B) | ("flat", T, B) |
+    ("dense", tape, T, B) | ("lazyph", slots, T, B, C2, fcaps,
+    no_overflow). Row layout: B rows gv, B rows gi, (+ B rows
+    resolved-flag for lazyph). Input arity per entry: 3 arrays (cs, cn,
+    wts) — flat entries take 5 (cs, cn, wts, flags, kmin)."""
     jax, jnp = _lazy_jax()
     fns = []
     for ent in spec:
         if ent[0] == "fused":
             _, tape, T, B = ent
             fns.append(_build_fused_fn(tape, scorer_name, W, T, B, k, interpret))
+        elif ent[0] == "flat":
+            _, T, B = ent
+            fns.append(_build_flat_fn(scorer_name, W, T, B, k, interpret))
         elif ent[0] == "dense":
             _, tape, T, B = ent
             fns.append(_build_batch_fn(tape, scorer_name, W, T, B, k, interpret))
@@ -293,13 +446,25 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
     def run(bmeta, planes, hit_pw, hit_off, n_docs, deleted_tiles,
             deleted_flat, *flat):
         rows = []
-        for gi_, (ent, fn) in enumerate(zip(spec, fns)):
-            cs, cn, wts = flat[3 * gi_ : 3 * gi_ + 3]
+        off = 0
+        for ent, fn in zip(spec, fns):
+            nargs = 5 if ent[0] == "flat" else 3
+            gargs = flat[off : off + nargs]
+            off += nargs
             if ent[0] == "fused":
+                cs, cn, wts = gargs
                 gv, gidx = fn(bmeta, planes, cs, cn, wts, n_docs, deleted_tiles)
+            elif ent[0] == "flat":
+                cs, cn, wts, gflags, gkmin = gargs
+                gv, gidx = fn(
+                    bmeta, planes, cs, cn, wts, gflags, gkmin, n_docs,
+                    deleted_tiles,
+                )
             elif ent[0] == "dense":
+                cs, cn, wts = gargs
                 gv, gidx = fn(bmeta, planes, cs, cn, wts, n_docs, deleted_flat)
             else:
+                cs, cn, wts = gargs
                 gv, gidx, res = fn(
                     bmeta, planes, cs, cn, hit_pw, hit_off, wts, n_docs,
                     deleted_flat,
@@ -1523,6 +1688,17 @@ class Executor:
             if plan.has_phrase:
                 phrase_groups.setdefault(key, []).append((qi, plan))
             else:
+                # flat boolean shapes share ONE tape-independent program
+                # per (T, B) bucket (structure rides as data) — different
+                # shapes (AND/NOT/OR/k-of-n) of one T bucket merge into a
+                # single kernel instance and a single compile variant
+                T = _pad_T(plan.n_slots)
+                if (
+                    USE_FLAT
+                    and T <= FUSED_MAX_SLOTS
+                    and _flatten_tape(key, plan.n_slots) is not None
+                ):
+                    key = ("flat", T)
                 groups.setdefault(key, []).append((qi, plan))
             order.append(("group", key))
 
@@ -1540,8 +1716,8 @@ class Executor:
         group_meta = []
         pending = []
         for key, members in groups.items():
-            T = _pad_T(members[0][1].n_slots)
-            nw = len(members[0][1].weight_terms)
+            is_flat = key[0] == "flat"
+            T = key[1] if is_flat else _pad_T(members[0][1].n_slots)
             B = (
                 next(b for b in buckets if b >= len(members))
                 if len(members) <= buckets[-1]
@@ -1549,22 +1725,49 @@ class Executor:
             )
             cs = np.zeros((seg.n_windows, B * T), np.int32)
             cn = np.zeros((seg.n_windows, B * T), np.int32)
-            weights = np.zeros((B, nw), np.float32)
+            if is_flat:
+                # per-SLOT weights + structure-as-data (flags, kmin); pad
+                # rows get kmin = T+1 so they match nothing (NEG_INF rows)
+                weights = np.zeros((B, T), np.float32)
+                gflags = np.zeros((B, T), np.int32)
+                gkmin = np.full(B, T + 1, np.int32)
+            else:
+                nw = len(members[0][1].weight_terms)
+                weights = np.zeros((B, nw), np.float32)
             for bi, (qi, plan) in enumerate(members):
                 tids = [seg.term_id(t) for t in plan.term_texts]
                 c_s, c_n = compute_cells(seg, tids)
                 cs[:, bi * T : bi * T + plan.n_slots] = c_s
                 cn[:, bi * T : bi * T + plan.n_slots] = c_n
-                weights[bi] = [
+                wrow = [
                     model.weight([df_of(t) for t in terms], docs_cnt)
                     for terms in plan.weight_terms
                 ]
-            kind = "fused" if _fused_used_slots(key) is not None else "dense"
-            spec_entries.append((kind, key, T, B))
-            flat_inputs += [
-                jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
-            ]
-            group_meta.append((members, kind, B, None))
+                if is_flat:
+                    fl, wsel, km = _flatten_tape(plan.tape, plan.n_slots)
+                    gflags[bi, : plan.n_slots] = fl
+                    gkmin[bi] = km
+                    for s, wi in enumerate(wsel):
+                        if wi >= 0:
+                            weights[bi, s] = wrow[wi]
+                else:
+                    weights[bi] = wrow
+            if is_flat:
+                spec_entries.append(("flat", T, B))
+                flat_inputs += [
+                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights),
+                    jnp.asarray(gflags), jnp.asarray(gkmin),
+                ]
+                group_meta.append((members, "flat", B, None))
+            else:
+                kind = (
+                    "fused" if _fused_used_slots(key) is not None else "dense"
+                )
+                spec_entries.append((kind, key, T, B))
+                flat_inputs += [
+                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
+                ]
+                group_meta.append((members, kind, B, None))
         for key, members in phrase_groups.items():
             prep = (
                 self._prep_phrase_lazy(

@@ -145,13 +145,56 @@ def _qgroup(B: int, U: int, interpret: bool = False) -> int:
     return 1
 
 
+def eval_flat_tiles(tiles, flags_of, kmin, wts_of, scorer_cls, T):
+    """Data-driven twin of eval_tape_tiles for FLAT boolean shapes.
+
+    Per-slot flags (SMEM scalars, see executor._flatten_tape): bit 1 =
+    required member, bit 2 = negated member, bit 4 = optional member.
+    mask = (#required present >= kmin) & (no negated present); score =
+    sum of present scored (required|optional) members' scores in slot
+    order. For left-leaning parse trees this reproduces _eval_tape's f32
+    accumulation EXACTLY (absent/unscored slots contribute +0.0, which is
+    exact for the non-negative scores): the flattener only accepts tapes
+    whose tree grouping equals left-assoc slot-order accumulation.
+
+    This is what makes the program TAPE-INDEPENDENT: any flat AND / OR /
+    NOT / k-of-n / optional query of the same (T, B) bucket shares ONE
+    compiled kernel — the TPU analog of the reference executing any query
+    shape with zero compile cost (exec.cpp:662-666)."""
+    ssum = None
+    cnt = None
+    negany = None
+    for t in range(T):
+        f = tiles[t]
+        p = f > 0
+        fl = flags_of(t)
+        req = (fl & 1) > 0
+        neg = (fl & 2) > 0
+        scored = (fl & 5) > 0  # required | optional
+        s = scorer_cls.score_tile(f, wts_of(t))
+        contrib = jnp.where(p & scored, s, 0.0)
+        ssum = contrib if ssum is None else ssum + contrib
+        c = (p & req).astype(jnp.int32)
+        cnt = c if cnt is None else cnt + c
+        nv = p & neg
+        negany = nv if negany is None else negany | nv
+    mask = (cnt >= kmin) & ~negany
+    return mask, jnp.where(mask, ssum, 0.0)
+
+
 def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
-                       nBG):
+                       nBG, flat=False):
     scorer_cls = SIMILARITIES[scorer_name]
     U = len(used)
 
-    def kernel(cs_ref, cn_ref, wbase_ref, nd_ref, wts_ref,
-               bmeta_ref, planes_ref, *rest):
+    def kernel(cs_ref, cn_ref, wbase_ref, nd_ref, wts_ref, *pre_rest):
+        if flat:
+            flags_ref, kmin_ref, bmeta_ref, planes_ref = pre_rest[:4]
+            rest = pre_rest[4:]
+        else:
+            flags_ref = kmin_ref = None
+            bmeta_ref, planes_ref = pre_rest[:2]
+            rest = pre_rest[2:]
         if with_deleted:
             del_ref = rest[0]
             rest = rest[1:]
@@ -208,10 +251,20 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
             in_seg = in_seg & (del_ref[0] == 0)
         for qg in range(QG):
             b = bg * QG + qg
-            tiles = {t: tiles_s[qg * U + ui] for ui, t in enumerate(used)}
-            mask, score = eval_tape_tiles(
-                tape, tiles, lambda i: wts_ref[b, i], scorer_cls
-            )
+            if flat:
+                mask, score = eval_flat_tiles(
+                    [tiles_s[qg * U + ui] for ui in range(U)],
+                    lambda t: flags_ref[b, t],
+                    kmin_ref[b],
+                    lambda t: wts_ref[b, t],
+                    scorer_cls,
+                    T,
+                )
+            else:
+                tiles = {t: tiles_s[qg * U + ui] for ui, t in enumerate(used)}
+                mask, score = eval_tape_tiles(
+                    tape, tiles, lambda i: wts_ref[b, i], scorer_cls
+                )
             sc = jnp.where(mask & in_seg, score, NEG_INF)
             out_ref[qg, 0] = sc
             # per-SUB-BLOCK maxima: the window splits into 16 sub-blocks
@@ -290,6 +343,88 @@ def fused_score_tiles(
     wbase = jnp.arange(W, dtype=jnp.int32)
     nd = jnp.asarray(n_docs, jnp.int32).reshape(1)
     args = [cell_start, cell_nblocks, wbase, nd, weights, bmeta, planes]
+    if deleted is not None:
+        args.append(deleted)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W, TILE, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((B, W, NSUB, TILE), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scorer_name", "n_windows", "n_terms", "batch", "interpret",
+    ),
+)
+def fused_flat_score_tiles(
+    bmeta,  # (rows, 128) i32
+    planes,  # (R_pad, 128) u32
+    cell_start,  # (W, B*T) i32
+    cell_nblocks,  # (W, B*T) i32
+    weights,  # (B, T) f32 — PER-SLOT weights (widx resolved on host)
+    flags,  # (B, T) i32 — per-slot 1=required 2=negated 4=optional
+    kmin,  # (B,) i32 — min required-present count (pad rows: T+1)
+    n_docs,  # () i32
+    deleted,  # (W, 128, 128) f32 (1.0 = masked) or None
+    *,
+    scorer_name: str,
+    n_windows: int,
+    n_terms: int,
+    batch: int,
+    interpret: bool = False,
+):
+    """Tape-independent fused kernel for FLAT boolean queries: the query
+    structure (req/neg/opt membership + k-of-n threshold) is DATA, so one
+    compiled program serves every flat AND/OR/NOT/MatchSome/optional shape
+    of the same (T, B) bucket. Same outputs as fused_score_tiles."""
+    W, B, T = n_windows, batch, n_terms
+    used = tuple(range(T))
+    group = GROUP_INTERPRET if interpret else GROUP
+    QG = _qgroup(B, T, interpret)
+    kernel = _make_score_kernel(
+        None, used, scorer_name, T, group, deleted is not None, QG,
+        B // QG, flat=True,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if deleted is not None:
+        in_specs.append(
+            pl.BlockSpec((1, TILE, TILE), lambda w, b, *_: (w, 0, 0))
+        )
+    nc = max(1, QG * T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(W, B // QG),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((QG, 1, TILE, TILE), lambda w, b, *_: (b, w, 0, 0)),
+            pl.BlockSpec((QG, 1, NSUB, TILE), lambda w, b, *_: (b, w, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nc, TILE, TILE), jnp.float32),
+            pltpu.SMEM(
+                (2, nc, META_ROWS, META_PER_ROW * META_COLS),
+                jnp.int32,
+            ),
+            pltpu.VMEM((2, nc, ROWS_FIXED, TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2 * nc)),
+        ],
+    )
+    wbase = jnp.arange(W, dtype=jnp.int32)
+    nd = jnp.asarray(n_docs, jnp.int32).reshape(1)
+    args = [
+        cell_start, cell_nblocks, wbase, nd, weights,
+        jnp.asarray(flags, jnp.int32), jnp.asarray(kmin, jnp.int32),
+        bmeta, planes,
+    ]
     if deleted is not None:
         args.append(deleted)
     return pl.pallas_call(
