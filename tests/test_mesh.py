@@ -137,7 +137,9 @@ def test_mesh_batch_one_combined_program(sharded):
     h = mex.launch_batch(["t0 t1", "t3 NOT t2", '"t0 t1"'], k=10)
     packed_dev, group_meta, singles, *_ = h
     assert packed_dev is not None
-    assert len(group_meta) == 3 and not singles
+    # AND + NOT share the tape-independent flat group; the phrase is its own
+    assert len(group_meta) == 2 and not singles
+    assert [g[1] for g in group_meta].count("flat") == 1
     rows = sum(3 * B if kind == "lazyph" else 2 * B
                for _, kind, B in group_meta)
     assert packed_dev.shape == (len(mex.shards), rows, 10)

@@ -355,6 +355,7 @@ def _build_mesh_batch_combined(
 
     from trinity_tpu.exec.executor import (
         _build_batch_fn,
+        _build_flat_fn,
         _build_fused_fn,
         _build_phrase_lazy_fused,
     )
@@ -367,6 +368,9 @@ def _build_mesh_batch_combined(
             fns.append(
                 _build_fused_fn(tape, scorer_name, W, T, B, k, interpret)
             )
+        elif ent[0] == "flat":
+            _, T, B = ent
+            fns.append(_build_flat_fn(scorer_name, W, T, B, k, interpret))
         elif ent[0] == "dense":
             _, tape, T, B = ent
             fns.append(
@@ -390,19 +394,31 @@ def _build_mesh_batch_combined(
             else None
         )
         rows = []
-        for gi_, (ent, fn) in enumerate(zip(spec, fns)):
-            cs, cn, wts = flat[3 * gi_ : 3 * gi_ + 3]
+        off = 0
+        for ent, fn in zip(spec, fns):
+            nargs = 5 if ent[0] == "flat" else 3
+            gargs = flat[off : off + nargs]
+            off += nargs
             if ent[0] == "fused":
+                cs, cn, wts = gargs
                 gv, gidx = fn(
                     bmeta[0], planes[0], cs[0], cn[0], wts, n_docs[0],
                     deleted_tiles,
                 )
+            elif ent[0] == "flat":
+                cs, cn, wts, gflags, gkmin = gargs
+                gv, gidx = fn(
+                    bmeta[0], planes[0], cs[0], cn[0], wts, gflags, gkmin,
+                    n_docs[0], deleted_tiles,
+                )
             elif ent[0] == "dense":
+                cs, cn, wts = gargs
                 gv, gidx = fn(
                     bmeta[0], planes[0], cs[0], cn[0], wts, n_docs[0],
                     deleted_flat,
                 )
             else:
+                cs, cn, wts = gargs
                 gv, gidx, res = fn(
                     bmeta[0], planes[0], cs[0], cn[0], hit_pw[0], hit_off[0],
                     wts, n_docs[0], deleted_flat,
@@ -426,8 +442,11 @@ def _build_mesh_batch_combined(
             args.append(deleted)
         else:
             body = lambda *a: shard_body(*a[:6], None, *a[6:])
-        for _ in spec:
-            in_specs += [P(axis), P(axis), P()]  # cs, cn sharded; weights repl
+        for ent in spec:
+            # cs, cn sharded; weights (+ flags, kmin for flat) replicated
+            in_specs += [P(axis), P(axis), P()]
+            if ent[0] == "flat":
+                in_specs += [P(), P()]
         f = jax.shard_map(
             body,
             mesh=mesh,
@@ -948,6 +967,9 @@ class MeshExecutor:
 
         from trinity_tpu.config import get_config
         from trinity_tpu.exec.executor import (
+            FUSED_MAX_SLOTS,
+            USE_FLAT,
+            _flatten_tape,
             _fused_used_slots,
             _pad_T,
             _plan_for_text,
@@ -971,32 +993,71 @@ class MeshExecutor:
         for qi, (root, plan) in enumerate(parsed):
             if root is None:
                 continue
-            dst = phrase_groups if plan.has_phrase else groups
-            dst.setdefault(plan.tape, []).append((qi, plan, root))
+            if plan.has_phrase:
+                phrase_groups.setdefault(plan.tape, []).append(
+                    (qi, plan, root)
+                )
+                continue
+            key = plan.tape
+            # flat shapes share the tape-independent program (see
+            # executor.launch_batch — identical routing on the mesh)
+            T = _pad_T(plan.n_slots)
+            if (
+                USE_FLAT
+                and T <= FUSED_MAX_SLOTS
+                and _flatten_tape(key, plan.n_slots) is not None
+            ):
+                key = ("flat", T)
+            groups.setdefault(key, []).append((qi, plan, root))
         results: List[Optional[list]] = [None] * len(parsed)
         buckets = get_config().batch_buckets
         spec_entries, flat_inputs, group_meta, singles = [], [], [], []
         for key, members in groups.items():
-            T = _pad_T(members[0][1].n_slots)
-            nw = len(members[0][1].weight_terms)
+            is_flat = key[0] == "flat"
+            T = key[1] if is_flat else _pad_T(members[0][1].n_slots)
             B = (
                 next(b for b in buckets if b >= len(members))
                 if len(members) <= buckets[-1]
                 else len(members)
             )
             cs, cn = self._group_cells(members, T, B)
-            weights = np.zeros((B, nw), np.float32)
+            if is_flat:
+                weights = np.zeros((B, T), np.float32)
+                gflags = np.zeros((B, T), np.int32)
+                gkmin = np.full(B, T + 1, np.int32)
+            else:
+                nw = len(members[0][1].weight_terms)
+                weights = np.zeros((B, nw), np.float32)
             for bi, (qi, plan, root) in enumerate(members):
-                weights[bi] = [
+                wrow = [
                     model.weight([df(t) for t in terms], docs_cnt)
                     for terms in plan.weight_terms
                 ]
-            kind = "fused" if _fused_used_slots(key) is not None else "dense"
-            spec_entries.append((kind, key, T, B))
-            flat_inputs += [
-                jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
-            ]
-            group_meta.append((members, kind, B))
+                if is_flat:
+                    fl, wsel, km = _flatten_tape(plan.tape, plan.n_slots)
+                    gflags[bi, : plan.n_slots] = fl
+                    gkmin[bi] = km
+                    for s, wi in enumerate(wsel):
+                        if wi >= 0:
+                            weights[bi, s] = wrow[wi]
+                else:
+                    weights[bi] = wrow
+            if is_flat:
+                spec_entries.append(("flat", T, B))
+                flat_inputs += [
+                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights),
+                    jnp.asarray(gflags), jnp.asarray(gkmin),
+                ]
+                group_meta.append((members, "flat", B))
+            else:
+                kind = (
+                    "fused" if _fused_used_slots(key) is not None else "dense"
+                )
+                spec_entries.append((kind, key, T, B))
+                flat_inputs += [
+                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
+                ]
+                group_meta.append((members, kind, B))
         for key, members in phrase_groups.items():
             prep = (
                 self._prep_mesh_lazyph(key, members, k, model, docs_cnt, df)
