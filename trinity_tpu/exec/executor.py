@@ -1200,6 +1200,30 @@ class Executor:
         """Issue the boolean-tape device program; returns ((k,), (k,))
         pending device arrays. Prefers the fused score kernel."""
         seg = self.seg
+        T = _pad_T(plan.n_slots)
+        flat = (
+            _flatten_tape(plan.tape, plan.n_slots)
+            if USE_FLAT and T <= FUSED_MAX_SLOTS
+            else None
+        )
+        if flat is not None:
+            # tape-independent program: one compile variant per T bucket
+            # covers every flat single-query shape (AND/OR/NOT/k-of-n/opt)
+            fl, wsel, km = flat
+            wnp = np.asarray(weights)
+            wflat = np.zeros((1, T), np.float32)
+            gflags = np.zeros((1, T), np.int32)
+            for s in range(plan.n_slots):
+                gflags[0, s] = fl[s]
+                if wsel[s] >= 0:
+                    wflat[0, s] = wnp[wsel[s]]
+            fn = _build_flat_fn(scorer, seg.n_windows, T, 1, k, self.interpret)
+            gv, gi = fn(
+                self.bmeta, self.planes, cs, cn, wflat, gflags,
+                np.array([km], np.int32), np.int32(seg.n_docs),
+                self._deleted_tiles,
+            )
+            return gv[0], gi[0]
         used = _fused_used_slots(plan.tape)
         if used is not None:
             fn = _build_fused_fn(
