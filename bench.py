@@ -99,22 +99,36 @@ def make_queries(rng, n=120):
     return qs
 
 
-def _wait_for_device(max_wait_s: int = 420):
-    """The remote TPU worker can be mid-recovery (a prior kernel fault wedges
-    it ~10 min); wait until a trivial op succeeds before building."""
-    import jax
-    import jax.numpy as jnp
+def _wait_for_device(max_wait_s: int = 2400):
+    """The remote TPU worker can be mid-recovery (a prior kernel fault
+    wedges it ~10 min) or the service down for longer stretches (a 3 h
+    outage was observed); wait until a trivial op succeeds before
+    building. Backend-init failures are CACHED by jax within a process,
+    so each retry probes in a fresh subprocess and the parent only
+    touches the backend after a probe succeeds."""
+    import subprocess
+    import sys
 
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "jax.block_until_ready(jnp.arange(4.0).sum())"
+    )
     deadline = time.time() + max_wait_s
     while True:
         try:
-            jax.block_until_ready(jnp.arange(4.0).sum())
-            return
-        except Exception as e:  # noqa: BLE001
-            if time.time() > deadline:
-                raise
-            _log(f"device unavailable ({type(e).__name__}); retrying...")
-            time.sleep(30)
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=300,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode()[-200:]
+        except subprocess.TimeoutExpired:
+            err = "probe timeout (300s)"
+        if time.time() > deadline:
+            raise RuntimeError(f"device unavailable: {err}")
+        _log(f"device unavailable; retrying... ({err.splitlines()[-1] if err else ''})")
+        time.sleep(30)
 
 
 def main():
