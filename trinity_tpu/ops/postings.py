@@ -224,9 +224,13 @@ def _decode_cells_pipelined(
                 planes_ref, rowss_s.at[ui], sems.at[2 * ui + 1], r0
             )
     for ui, (b0, n) in enumerate(cells):
-        tile_refs[ui][...] = jnp.zeros(tile_refs[ui].shape, jnp.float32)
-        if off_refs is not None:
-            off_refs[ui][...] = jnp.zeros(off_refs[ui].shape, jnp.int32)
+        # zero only EMPTY cells: non-empty ones are fully overwritten by
+        # the decode, so the unconditional zero store was a dead write
+        @pl.when(n == 0)
+        def _(ui=ui):
+            tile_refs[ui][...] = jnp.zeros(tile_refs[ui].shape, jnp.float32)
+            if off_refs is not None:
+                off_refs[ui][...] = jnp.zeros(off_refs[ui].shape, jnp.int32)
 
         @pl.when(n > 0)
         def _(ui=ui, b0=b0, n=n):
@@ -306,9 +310,13 @@ def _decode_cells_dbuf(
 
     def decode_cell(ui, b0, n):
         meta = _meta_accessor(metas_s.at[p, ui], b0)
-        tile_refs[ui][...] = jnp.zeros(tile_refs[ui].shape, jnp.float32)
-        if off_refs is not None:
-            off_refs[ui][...] = jnp.zeros(off_refs[ui].shape, jnp.int32)
+
+        # zero only EMPTY cells (non-empty are fully overwritten below)
+        @pl.when(n == 0)
+        def _():
+            tile_refs[ui][...] = jnp.zeros(tile_refs[ui].shape, jnp.float32)
+            if off_refs is not None:
+                off_refs[ui][...] = jnp.zeros(off_refs[ui].shape, jnp.int32)
 
         @pl.when(n > 0)
         def _():
