@@ -202,6 +202,70 @@ def _build_sharded_fn(
     return aot_jit(run, "_build_sharded_fn", tape, scorer_name, S, W, T, k, interpret, axis, with_deleted)
 
 
+@functools.lru_cache(maxsize=64)
+def _build_sharded_flat_fn(
+    scorer_name, S, W, T, k, interpret, axis, mesh, with_deleted
+):
+    """Tape-INDEPENDENT sharded single-query program: the flat query
+    structure (per-slot flags + kmin) rides as replicated data, so one
+    compile variant per T bucket serves every flat shape on the mesh
+    (the sharded twin of executor._build_flat_fn's role)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from trinity_tpu.exec.executor import _eval_flat_arrays
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def shard_body(bmeta, planes, cs, cn, weights, flags, kmin, n_docs,
+                   base, deleted):
+        tiles = materialize_freq_tiles(
+            bmeta[0], planes[0], cs[0], cn[0],
+            n_windows=W, n_terms=T, interpret=interpret,
+        )
+        freq = tiles.reshape(W, T, WINDOW_SIZE).transpose(1, 0, 2).reshape(
+            T, W * WINDOW_SIZE
+        )
+        mask, score = _eval_flat_arrays(
+            freq, flags, kmin[0], weights, scorer_cls, jnp
+        )
+        gid = jnp.arange(W * WINDOW_SIZE, dtype=jnp.int32)
+        mask = mask & (gid < n_docs[0])
+        if deleted is not None:
+            mask = mask & ~deleted[0].reshape(-1)
+        scores = jnp.where(mask, score, NEG_INF)
+        gv, gi = jax.lax.top_k(scores, k)  # flat: docid-asc ties
+        return gv[None], (gi + base[0])[None]
+
+    def run(bmeta, planes, cs, cn, weights, flags, kmin, n_docs, base,
+            deleted):
+        in_specs = [
+            P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P(axis),
+            P(axis),
+        ]
+        args = [bmeta, planes, cs, cn, weights, flags, kmin, n_docs, base]
+        body = shard_body
+        if with_deleted:
+            in_specs.append(P(axis))
+            args.append(deleted)
+        else:
+            body = lambda *a: shard_body(*a, None)
+        f = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+        sv, si = f(*args)
+        gv, gidx = jax.lax.top_k(sv.reshape(-1), k)
+        return gv, si.reshape(-1)[gidx]
+
+    return aot_jit(run, "_build_sharded_flat_fn", scorer_name, S, W, T, k, interpret, axis, with_deleted)
+
+
 @functools.lru_cache(maxsize=256)
 def _build_sharded_phrase_fn(
     tape, scorer_name, S, W, T, C, phrase_slots, fcaps, k, interpret,
@@ -664,7 +728,12 @@ class MeshExecutor:
         finish()."""
         import jax.numpy as jnp
 
-        from trinity_tpu.exec.executor import _pad_T
+        from trinity_tpu.exec.executor import (
+            FUSED_MAX_SLOTS,
+            USE_FLAT,
+            _flatten_tape,
+            _pad_T,
+        )
 
         if isinstance(query, str):
             query = parse_query(query)
@@ -679,6 +748,33 @@ class MeshExecutor:
             return self._launch_phrase(
                 root, plan, cs, cn, weights, k, scorer, stats, df_of
             )
+        fl = (
+            _flatten_tape(plan.tape, plan.n_slots)
+            if USE_FLAT and t_pad <= FUSED_MAX_SLOTS
+            else None
+        )
+        if fl is not None:
+            # tape-independent sharded program (one variant per T bucket)
+            flags_t, wsel, km = fl
+            wnp = np.asarray(weights)
+            wflat = np.zeros(t_pad, np.float32)
+            gflags = np.zeros(t_pad, np.int32)
+            for s in range(plan.n_slots):
+                gflags[s] = flags_t[s]
+                if wsel[s] >= 0:
+                    wflat[s] = wnp[wsel[s]]
+            run = _build_sharded_flat_fn(
+                scorer, len(self.shards), self.W, t_pad, k,
+                self.interpret, self.axis, self.mesh,
+                self._deleted is not None,
+            )
+            out = run(
+                self.bmeta, self.planes, jnp.asarray(cs), jnp.asarray(cn),
+                jnp.asarray(wflat), jnp.asarray(gflags),
+                jnp.asarray(np.array([km], np.int32)), self.n_docs,
+                self.base, self._deleted,
+            )
+            return ("bool", out)
         run = _build_sharded_fn(
             plan.tape, scorer, len(self.shards), self.W, t_pad, k,
             self.interpret, self.axis, self.mesh,
