@@ -21,7 +21,7 @@ class Config:
     # finer buckets: the dense tile tensor costs HBM bandwidth proportional
     # to PADDED B*T, so padding waste is wall-clock (measured ~2.7x on the
     # bench AND group); the persistent compile cache absorbs the variants
-    batch_buckets: tuple = (1, 2, 4, 8, 12, 16, 24, 32, 48, 64)
+    batch_buckets: tuple = (1, 2, 4, 8, 12, 16, 24, 32, 36, 48, 64)
     term_buckets: tuple = (2, 4, 8, 16, 32, 64, 128)  # kernel term-axis padding
     phrase_candidate_cap: int = 2048  # initial per-window phrase candidates
     phrase_lazy_candidates: int = 8192  # bound-ordered pull (lazy phrase path)
