@@ -62,23 +62,33 @@ def main():
     rng = np.random.default_rng(bench.SEED + 1)
     queries = bench.make_queries(rng)
     bool_qs = [q for i, q in enumerate(queries) if i % 10 < 9]
-    log(f"{len(bool_qs)} boolean queries")
+    ph_qs = [q for i, q in enumerate(queries) if i % 10 == 9]
+    log(f"{len(bool_qs)} boolean queries, {len(ph_qs)} phrase queries")
 
-    def timed_loop(reps=3):
+    def timed_loop(qs, reps=3):
         t0 = time.perf_counter()
-        h = ex.launch_batch(bool_qs, k=10)
+        h = ex.launch_batch(qs, k=10)
         for _ in range(reps - 1):
-            nxt = ex.launch_batch(bool_qs, k=10)
+            nxt = ex.launch_batch(qs, k=10)
             ex.finish_batch(h)
             h = nxt
         out = ex.finish_batch(h)
         return (time.perf_counter() - t0) / reps, out
 
+    # modes: flat vs tape boolean grouping, plus the phrase group and the
+    # full 120-query batch (both under the default flat grouping) for the
+    # per-group breakdown
+    MODES = (
+        ("flat", bool_qs, True),
+        ("tape", bool_qs, False),
+        ("phrase", ph_qs, True),
+        ("full", queries, True),
+    )
     results = {}
-    for name, useflat in (("flat", True), ("tape", False)):
+    for name, qs, useflat in MODES:
         exmod.USE_FLAT = useflat
         t0 = time.time()
-        _, out = timed_loop(reps=1)
+        _, out = timed_loop(qs, reps=1)
         log(f"compiled+first-exec {name} in {time.time()-t0:.0f}s")
         results[name] = out
 
@@ -89,17 +99,17 @@ def main():
         np.testing.assert_allclose(va, vb, rtol=2.4e-7, atol=0)
     log("parity ok (flat == tape, ids exact, scores 2 ulp)")
 
-    times = {"flat": [], "tape": []}
+    times = {name: [] for name, _, _ in MODES}
     for round_i in range(6):
-        for name, useflat in (("flat", True), ("tape", False)):
+        for name, qs, useflat in MODES:
             exmod.USE_FLAT = useflat
-            dt, _ = timed_loop(reps=3)
+            dt, _ = timed_loop(qs, reps=3)
             times[name].append(dt)
-            log(f"round {round_i} {name}: {dt*1e3:7.2f} ms/batch")
+            log(f"round {round_i} {name:6s}: {dt*1e3:7.2f} ms/batch")
     for name in times:
         med = np.median(times[name]) * 1e3
         best = min(times[name]) * 1e3
-        log(f"RESULT {name}: median {med:7.2f} ms/batch  best {best:7.2f}")
+        log(f"RESULT {name:6s}: median {med:7.2f} ms/batch  best {best:7.2f}")
     log("AB DONE")
 
 
