@@ -28,36 +28,13 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def _wait_for_device(max_wait_s: int = 2400):
-    """Probe in subprocesses: jax CACHES backend-init failure in-process,
-    and a failed init can block ~10 min before raising (observed)."""
-    probe = (
-        "import jax, jax.numpy as jnp;"
-        "jax.block_until_ready(jnp.arange(4.0).sum())"
-    )
-    deadline = time.time() + max_wait_s
-    while True:
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", probe], timeout=300,
-                capture_output=True,
-            )
-            if r.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        if time.time() > deadline:
-            raise RuntimeError("device unavailable")
-        log("device unavailable; retrying...")
-        time.sleep(30)
-
-
 def run_variant():
-    _wait_for_device()
+    import bench
+
+    bench._wait_for_device(max_wait_s=2400)
     import jax
     import jax.numpy as jnp
 
-    import bench
     from trinity_tpu.exec import Executor
     from trinity_tpu.exec.executor import NEG_INF, SIMILARITIES
     from trinity_tpu.exec.phrases import verify_phrases_device

@@ -16,7 +16,6 @@ tools/ab_gather.py (subprocess per variant) for that lever.
 Usage: nohup python tools/ab_r3c.py > /tmp/ab_r3c.log 2>&1 &
 """
 
-import subprocess
 import sys
 import time
 
@@ -29,31 +28,10 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def _wait_for_device(max_wait_s: int = 3600):
-    probe = (
-        "import jax, jax.numpy as jnp;"
-        "jax.block_until_ready(jnp.arange(4.0).sum())"
-    )
-    deadline = time.time() + max_wait_s
-    while True:
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", probe], timeout=300,
-                capture_output=True,
-            )
-            if r.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        if time.time() > deadline:
-            raise RuntimeError("device unavailable")
-        log(f"device unavailable; retrying... {time.strftime('%H:%M:%S')}")
-        time.sleep(30)
-
-
 def main():
-    _wait_for_device()
     import bench
+
+    bench._wait_for_device(max_wait_s=3600)
     import trinity_tpu.exec.executor as exmod
     from trinity_tpu.exec import Executor
 

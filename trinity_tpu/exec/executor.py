@@ -181,35 +181,6 @@ def _eval_tape(tape, freq, weights, scorer_cls, jnp, phrase_tiles=None, _pc=None
     raise ValueError(kind)
 
 
-def _eval_flat_arrays(freq, flags, kmin, wts, scorer_cls, jnp):
-    """Array-domain twin of ops/fusedscore.eval_flat_tiles: evaluate a FLAT
-    boolean query whose structure rides as data (per-slot req/neg/opt
-    flags + k-of-n threshold). freq: f32 (T, N); flags: i32 (T,); kmin:
-    i32 scalar; wts: f32 (T,) per-slot weights. The T-loop is static so
-    the f32 accumulation is left-assoc slot order — identical to
-    _eval_tape on the shapes _flatten_tape accepts."""
-    T = freq.shape[0]
-    ssum = None
-    cnt = None
-    negany = None
-    for t in range(T):
-        f = freq[t]
-        p = f > 0
-        fl = flags[t]
-        req = (fl & 1) > 0
-        neg = (fl & 2) > 0
-        scored = (fl & 5) > 0
-        s = scorer_cls.score_tile(f, wts[t])
-        contrib = jnp.where(p & scored, s, 0.0)
-        ssum = contrib if ssum is None else ssum + contrib
-        c = (p & req).astype(jnp.int32)
-        cnt = c if cnt is None else cnt + c
-        nv = p & neg
-        negany = nv if negany is None else negany | nv
-    mask = (cnt >= kmin) & ~negany
-    return mask, jnp.where(mask, ssum, 0.0)
-
-
 # fused-path bound: tapes reading more slots fall back to the two-stage
 # path (VMEM holds one decoded tile per used slot)
 FUSED_MAX_SLOTS = 8

@@ -214,7 +214,7 @@ def _build_sharded_flat_fn(
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from trinity_tpu.exec.executor import _eval_flat_arrays
+    from trinity_tpu.ops.fusedscore import eval_flat_tiles
     from trinity_tpu.ops.postings import materialize_freq_tiles
 
     scorer_cls = SIMILARITIES[scorer_name]
@@ -225,18 +225,24 @@ def _build_sharded_flat_fn(
             bmeta[0], planes[0], cs[0], cn[0],
             n_windows=W, n_terms=T, interpret=interpret,
         )
-        freq = tiles.reshape(W, T, WINDOW_SIZE).transpose(1, 0, 2).reshape(
-            T, W * WINDOW_SIZE
+        freq = tiles.reshape(W, T, WINDOW_SIZE)
+        # same per-slot slicing as the per-tape body (no transpose):
+        # ONE shared flat evaluator (ops/fusedscore.eval_flat_tiles) keeps
+        # kernel/mesh flag semantics in lockstep
+        mask, score = eval_flat_tiles(
+            [freq[:, t, :] for t in range(T)],
+            lambda t: flags[t], kmin[0], lambda t: weights[t],
+            scorer_cls, T,
         )
-        mask, score = _eval_flat_arrays(
-            freq, flags, kmin[0], weights, scorer_cls, jnp
+        gid = (
+            jnp.arange(W, dtype=jnp.int32)[:, None] * WINDOW_SIZE
+            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
         )
-        gid = jnp.arange(W * WINDOW_SIZE, dtype=jnp.int32)
         mask = mask & (gid < n_docs[0])
         if deleted is not None:
-            mask = mask & ~deleted[0].reshape(-1)
+            mask = mask & ~deleted[0].reshape(W, WINDOW_SIZE)
         scores = jnp.where(mask, score, NEG_INF)
-        gv, gi = jax.lax.top_k(scores, k)  # flat: docid-asc ties
+        gv, gi = jax.lax.top_k(scores.reshape(-1), k)  # flat: docid ties
         return gv[None], (gi + base[0])[None]
 
     def run(bmeta, planes, cs, cn, weights, flags, kmin, n_docs, base,
@@ -729,7 +735,6 @@ class MeshExecutor:
         import jax.numpy as jnp
 
         from trinity_tpu.exec.executor import (
-            FUSED_MAX_SLOTS,
             USE_FLAT,
             _flatten_tape,
             _pad_T,
@@ -748,10 +753,11 @@ class MeshExecutor:
             return self._launch_phrase(
                 root, plan, cs, cn, weights, k, scorer, stats, df_of
             )
+        # no FUSED_MAX_SLOTS gate here: this path materializes tiles and
+        # evaluates as arrays (no per-slot VMEM residency), so any flat
+        # width stays on the tape-independent program
         fl = (
-            _flatten_tape(plan.tape, plan.n_slots)
-            if USE_FLAT and t_pad <= FUSED_MAX_SLOTS
-            else None
+            _flatten_tape(plan.tape, plan.n_slots) if USE_FLAT else None
         )
         if fl is not None:
             # tape-independent sharded program (one variant per T bucket)
