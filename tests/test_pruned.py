@@ -209,31 +209,22 @@ def test_pruned_batch_stops_early():
     sess.bulk_index(dids, docs)
     ex = Executor(sess.commit())
 
-    import trinity_tpu.exec.executor as E
+    from trinity_tpu.utils.metrics import get_metrics
 
-    calls = [0]
-    orig = E._build_pruned_batch_fn
-
-    def counting(*a, **kw):
-        fn = orig(*a, **kw)
-
-        def wrapped(*args):
-            calls[0] += 1
-            return fn(*args)
-
-        return wrapped
-
-    E._build_pruned_batch_fn = counting
-    try:
-        pruned = ex.search_pruned_batch(
-            ["hot", "warm", "hot warm"], k=10, chunk_windows=1
+    def rounds():
+        return get_metrics().snapshot().get("pruned.rounds", {}).get(
+            "value", 0
         )
-    finally:
-        E._build_pruned_batch_fn = orig
+
+    before = rounds()
+    pruned = ex.search_pruned_batch(
+        ["hot", "warm", "hot warm"], k=10, chunk_windows=1
+    )
+    calls = rounds() - before
     dense = ex.search_batch(["hot", "warm", "hot warm"], k=10)
     for ra, rb in zip(dense, pruned):
         assert [(r.doc_id, r.score) for r in ra] == [
             (r.doc_id, r.score) for r in rb
         ]
     W = ex.seg.n_windows
-    assert calls[0] < W, f"no pruning happened ({calls[0]} of {W} rounds)"
+    assert 0 < calls < W, f"no pruning happened ({calls} of {W} rounds)"

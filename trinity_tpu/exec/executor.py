@@ -635,6 +635,54 @@ def _build_pruned_batch_fn(tape, scorer_name, M, T, B, k, interpret):
     return aot_jit(run, "_build_pruned_batch_fn", tape, scorer_name, M, T, B, k, interpret)
 
 
+@functools.lru_cache(maxsize=64)
+def _build_pruned_flat_batch_fn(scorer_name, M, T, B, k, interpret):
+    """Tape-INDEPENDENT chunk evaluator for batched pruned search: the flat
+    query structure (per-slot flags + kmin) rides as data, so mixed flat
+    shapes share one pruned program per (M, T, B) bucket — the pruned twin
+    of _build_flat_fn."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.fusedscore import eval_flat_tiles
+    from trinity_tpu.ops.postings import materialize_freq_tiles
+
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(bmeta, planes, cs, cn, window_base, weights, flags, kmin,
+            n_docs, deleted):
+        tiles = materialize_freq_tiles(
+            bmeta, planes, cs, cn, window_base,
+            n_windows=M, n_terms=B * T, interpret=interpret,
+        )
+        freq = tiles.reshape(M, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
+        mask, score = eval_flat_tiles(
+            [freq[:, :, t, :] for t in range(T)],
+            lambda t: flags[:, t, None, None],
+            kmin[:, None, None],
+            lambda t: weights[:, t, None, None],
+            scorer_cls, T,
+        )
+        gid = (
+            window_base[:, None] * WINDOW_SIZE
+            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+        )  # (M, N)
+        mask = mask & (gid < n_docs)[None]
+        if deleted is not None:
+            mask = mask & deleted_take(deleted, window_base, jnp)[None]
+        scores = jnp.where(mask, score, NEG_INF)  # (B, M, N)
+        gv, gidx = jax.lax.top_k(scores.reshape(B, -1), k)
+        w_of = gidx // WINDOW_SIZE
+        gdoc = (
+            jnp.take_along_axis(
+                jnp.broadcast_to(window_base[None, :], (B, M)), w_of, axis=1
+            )
+            * WINDOW_SIZE
+            + gidx % WINDOW_SIZE
+        )
+        return jnp.concatenate([gv, gdoc.astype(jnp.float32)], axis=0)
+
+    return aot_jit(run, "_build_pruned_flat_batch_fn", scorer_name, M, T, B, k, interpret)
+
+
 @functools.lru_cache(maxsize=512)
 def _build_batch_fn(tape, scorer_name, W, T, B, k, interpret):
     """Batched execution: B same-shape queries share ONE device program —
@@ -1544,7 +1592,12 @@ class Executor:
             if plan.has_phrase:
                 fallback_idx.append(qi)
                 continue
-            groups.setdefault(plan.tape, []).append((qi, plan))
+            key = plan.tape
+            # flat shapes share ONE tape-independent pruned program per
+            # (T, B) bucket (no slot cap: this path materializes tiles)
+            if USE_FLAT and _flatten_tape(key, plan.n_slots) is not None:
+                key = ("flat", _pad_T(plan.n_slots))
+            groups.setdefault(key, []).append((qi, plan))
         results: List[Optional[List[SearchResult]]] = [None] * len(parsed)
         if fallback_idx:
             fb = self.search_batch(
@@ -1554,8 +1607,8 @@ class Executor:
                 results[qi] = res
         buckets = get_config().batch_buckets
         for key, members in groups.items():
-            T = _pad_T(members[0][1].n_slots)
-            nw = len(members[0][1].weight_terms)
+            is_flat = key[0] == "flat"
+            T = key[1] if is_flat else _pad_T(members[0][1].n_slots)
             B = (
                 next(b for b in buckets if b >= len(members))
                 if len(members) <= buckets[-1]
@@ -1564,25 +1617,53 @@ class Executor:
             nb = len(members)
             cs = np.zeros((W, B * T), np.int32)
             cn = np.zeros((W, B * T), np.int32)
-            weights = np.zeros((B, nw), np.float32)
+            if is_flat:
+                weights = np.zeros((B, T), np.float32)
+                gflags = np.zeros((B, T), np.int32)
+                gkmin = np.full(B, T + 1, np.int32)
+            else:
+                nw = len(members[0][1].weight_terms)
+                weights = np.zeros((B, nw), np.float32)
             ub = np.zeros((B, W), np.float64)
             for bi, (qi, plan) in enumerate(members):
                 tids = [seg.term_id(t) for t in plan.term_texts]
                 c_s, c_n = compute_cells(seg, tids)
                 cs[:, bi * T : bi * T + plan.n_slots] = c_s
                 cn[:, bi * T : bi * T + plan.n_slots] = c_n
-                weights[bi] = [
+                wrow = [
                     model.weight([df_of(t) for t in terms], docs_cnt)
                     for terms in plan.weight_terms
                 ]
+                if is_flat:
+                    fl, wsel, km = _flatten_tape(plan.tape, plan.n_slots)
+                    gflags[bi, : plan.n_slots] = fl
+                    gkmin[bi] = km
+                    for s, wi in enumerate(wsel):
+                        if wi >= 0:
+                            weights[bi, s] = wrow[wi]
+                else:
+                    weights[bi] = wrow
+                # the WAND bound always uses the member's OWN tape; weights
+                # must be the f32 values the kernel scores with (an f64
+                # weight can sit 1 ulp BELOW its f32 rounding, putting the
+                # bound under an actual tie score -> wrongful early resolve)
                 ub[bi], _ = _tape_window_bounds(
-                    seg, key, cs, cn, weights[bi], model,
-                    col=lambda ti, b=bi: b * T + ti,
+                    seg, plan.tape, cs, cn, np.asarray(wrow, np.float32),
+                    model, col=lambda ti, b=bi: b * T + ti,
                 )
             order = np.argsort(-ub.max(axis=0), kind="stable").astype(np.int32)
-            fn = _build_pruned_batch_fn(
-                key, scorer, chunk_windows, T, B, k, self.interpret
-            )
+            if is_flat:
+                fn_flat = _build_pruned_flat_batch_fn(
+                    scorer, chunk_windows, T, B, k, self.interpret
+                )
+                fj, kj = jnp.asarray(gflags), jnp.asarray(gkmin)
+                fn = lambda bm, pl_, c1, c2, sp, wt, nd, dl: fn_flat(
+                    bm, pl_, c1, c2, sp, wt, fj, kj, nd, dl
+                )
+            else:
+                fn = _build_pruned_batch_fn(
+                    key, scorer, chunk_windows, T, B, k, self.interpret
+                )
             acc_v = [np.zeros(0, np.float32) for _ in range(B)]
             acc_i = [np.zeros(0, np.int64) for _ in range(B)]
             resolved = np.zeros(B, bool)
