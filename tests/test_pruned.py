@@ -7,6 +7,14 @@ from trinity_tpu.exec import Executor
 from tests.test_exec_e2e import make_corpus, ids
 
 
+def _rounds():
+    """Device chunk evaluations, via the pruned.rounds metric (robust to
+    which chunk evaluator the grouping routes to)."""
+    from trinity_tpu.utils.metrics import get_metrics
+
+    return get_metrics().snapshot().get("pruned.rounds", {}).get("value", 0)
+
+
 @pytest.fixture(scope="module")
 def big():
     rng = np.random.default_rng(41)
@@ -97,32 +105,16 @@ def test_pruned_skips_windows_general_shape():
     sess.bulk_index(dids, docs)
     ex = Executor(sess.commit())
 
-    import trinity_tpu.exec.executor as E
-
-    calls = [0]
-    orig = E._build_pruned_fn
-
-    def counting(*a, **kw):
-        fn = orig(*a, **kw)
-
-        def wrapped(*args):
-            calls[0] += 1
-            return fn(*args)
-
-        return wrapped
-
-    E._build_pruned_fn = counting
-    try:
-        q = "(hot warm) OR [hot,warm]"
-        pruned = ex.search_pruned(q, k=10, chunk_windows=1)
-    finally:
-        E._build_pruned_fn = orig
+    q = "(hot warm) OR [hot,warm]"
+    before = _rounds()
+    pruned = ex.search_pruned(q, k=10, chunk_windows=1)
+    calls = _rounds() - before
     dense = ex.search(q, k=10)
     assert [(r.doc_id, r.score) for r in pruned] == [
         (r.doc_id, r.score) for r in dense
     ]
     W = ex.seg.n_windows
-    assert calls[0] < W, f"no pruning happened ({calls[0]} of {W} windows)"
+    assert 0 < calls < W, f"no pruning happened ({calls} of {W} windows)"
 
 
 def test_pruned_skips_windows():
@@ -143,31 +135,15 @@ def test_pruned_skips_windows():
     sess.bulk_index(ids, docs)
     ex = Executor(sess.commit())
 
-    import trinity_tpu.exec.executor as E
-
-    calls = [0]
-    orig = E._build_pruned_fn
-
-    def counting(*a, **kw):
-        fn = orig(*a, **kw)
-
-        def wrapped(*args):
-            calls[0] += 1
-            return fn(*args)
-
-        return wrapped
-
-    E._build_pruned_fn = counting
-    try:
-        pruned = ex.search_pruned("hot", k=10, chunk_windows=1)
-    finally:
-        E._build_pruned_fn = orig
+    before = _rounds()
+    pruned = ex.search_pruned("hot", k=10, chunk_windows=1)
+    calls = _rounds() - before
     dense = ex.search("hot", k=10)
     assert [(r.doc_id, r.score) for r in pruned] == [
         (r.doc_id, r.score) for r in dense
     ]
     W = ex.seg.n_windows
-    assert calls[0] < W, f"no pruning happened ({calls[0]} of {W} windows)"
+    assert 0 < calls < W, f"no pruning happened ({calls} of {W} windows)"
 
 
 def test_pruned_batch_matches_batch(big):
@@ -209,18 +185,11 @@ def test_pruned_batch_stops_early():
     sess.bulk_index(dids, docs)
     ex = Executor(sess.commit())
 
-    from trinity_tpu.utils.metrics import get_metrics
-
-    def rounds():
-        return get_metrics().snapshot().get("pruned.rounds", {}).get(
-            "value", 0
-        )
-
-    before = rounds()
+    before = _rounds()
     pruned = ex.search_pruned_batch(
         ["hot", "warm", "hot warm"], k=10, chunk_windows=1
     )
-    calls = rounds() - before
+    calls = _rounds() - before
     dense = ex.search_batch(["hot", "warm", "hot warm"], k=10)
     for ra, rb in zip(dense, pruned):
         assert [(r.doc_id, r.score) for r in ra] == [

@@ -552,41 +552,6 @@ def _tape_window_bounds(seg, tape, cs_h, cn_h, w_h, model, col):
     raise ValueError(kind)
 
 
-@functools.lru_cache(maxsize=256)
-def _build_pruned_fn(tape, scorer_name, M, T, k, interpret):
-    """Chunk evaluator for pruned search: M gathered windows -> top-k."""
-    jax, jnp = _lazy_jax()
-    from trinity_tpu.ops.postings import materialize_freq_tiles
-
-    scorer_cls = SIMILARITIES[scorer_name]
-
-    def run(bmeta, planes, cs, cn, window_base, weights, n_docs, deleted):
-        tiles = materialize_freq_tiles(
-            bmeta,
-            planes,
-            cs,
-            cn,
-            window_base,
-            n_windows=M,
-            n_terms=T,
-            interpret=interpret,
-        )
-        freq = tiles.reshape(M, T, WINDOW_SIZE)
-        mask, score = _eval_tape(tape, freq, weights, scorer_cls, jnp)
-        gid = (
-            window_base[:, None] * WINDOW_SIZE
-            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
-        )
-        mask = mask & (gid < n_docs)
-        if deleted is not None:
-            mask = mask & deleted_take(deleted, window_base, jnp)
-        scores = jnp.where(mask, score, NEG_INF)
-        pv, pi = jax.lax.top_k(scores, k)  # (M, k)
-        return pv.reshape(-1), (gid[:, 0][:, None] + pi).reshape(-1)
-
-    return aot_jit(run, "_build_pruned_fn", tape, scorer_name, M, T, k, interpret)
-
-
 def deleted_take(deleted, window_base, jnp):
     """Gather ~deleted for a window subset (pruned path) as ROW gathers:
     each window is a contiguous WINDOW_SIZE-doc range, so this is M row
@@ -1478,73 +1443,14 @@ class Executor:
         docset_iterators.h:38-60). Exact results: a per-window score upper
         bound is computed from per-block max frequencies; windows are
         evaluated in descending-bound chunks and evaluation stops once the
-        running k-th score exceeds every remaining window's bound.
+        running k-th score strictly exceeds every remaining window's bound.
 
-        Falls back to search() for plans where a tight bound isn't
-        implemented (anything but flat disjunctions/conjunctions of tokens).
-        """
-        jax, jnp = _lazy_jax()
-        from trinity_tpu.ops.postings import compute_cells
-
-        prep = self._prepare(query, scorer, stats, df_of)
-        if prep is None:
-            return []
-        plan, cs, cn, weights = prep
-        if plan.has_phrase:
-            return self.search(query, k, scorer, stats, df_of)
-        seg = self.seg
-        W = seg.n_windows
-        cs_h = np.asarray(cs)
-        cn_h = np.asarray(cn)
-        model = SIMILARITIES[scorer]
-        w_h = np.asarray(weights)
-        ub, _ = _tape_window_bounds(
-            seg, plan.tape, cs_h, cn_h, w_h, model, col=lambda ti: ti
-        )
-        order = np.argsort(-ub, kind="stable").astype(np.int32)
-        results_v = np.zeros(0, np.float32)
-        results_i = np.zeros(0, np.int64)
-        T = cs_h.shape[1]
-        fn = _build_pruned_fn(
-            plan.tape, scorer, chunk_windows, T, k, self.interpret
-        )
-        for c0 in range(0, W, chunk_windows):
-            sel = order[c0 : c0 + chunk_windows]
-            if len(results_v) >= k:
-                theta = results_v[k - 1]
-                # strict: a tied doc in an unevaluated window could still win
-                # on the docid tie-break
-                if ub[sel].max(initial=0.0) < theta:
-                    break  # no remaining window can beat the k-th score
-            pad = chunk_windows - len(sel)
-            selp = np.pad(sel, (0, pad), constant_values=0)
-            csel = np.pad(cs_h[sel], ((0, pad), (0, 0)))
-            nsel = np.pad(cn_h[sel], ((0, pad), (0, 0)))
-            wb = jnp.asarray(selp)
-            if pad:
-                nsel[len(sel):] = 0
-            gv, gi = jax.device_get(
-                fn(
-                    self.bmeta,
-                    self.planes,
-                    jnp.asarray(csel),
-                    jnp.asarray(nsel),
-                    wb,
-                    weights,
-                    np.int32(seg.n_docs),
-                    self._deleted,
-                )
-            )
-            keep = gv > NEG_INF
-            results_v = np.concatenate([results_v, gv[keep]])
-            results_i = np.concatenate([results_i, gi[keep].astype(np.int64)])
-            # deterministic running order: score desc, docid asc
-            o = np.lexsort((results_i, -results_v))
-            results_v, results_i = results_v[o][: 2 * k], results_i[o][: 2 * k]
-        out = []
-        for v, i in zip(results_v[:k], results_i[:k]):
-            out.append(SearchResult(int(seg.doc_map[i]), float(v)))
-        return out
+        A single query is a pruned batch of one: the batch path shares the
+        tape-independent flat chunk evaluator and the generalized bounds
+        (phrases fall back to search_batch inside it)."""
+        return self.search_pruned_batch(
+            [query], k, scorer, chunk_windows, stats, df_of
+        )[0]
 
     def search_pruned_batch(
         self,
