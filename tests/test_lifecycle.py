@@ -85,6 +85,29 @@ def test_collection_match_ids():
     assert list(c.match_ids("galaxy")) == []  # doc 2 erased
 
 
+def test_mask_only_generation(tmp_path):
+    """An erase-only commit yields a 0-doc segment carrying only updated
+    ids — the TrivialMaskedDocumentsIndexSource analog
+    (index_source.h:160-189): it shadows older generations at query time
+    and is skipped as a search target, including across persist/load."""
+    c = IndexSourcesCollection()
+    c.add_segment(index_docs(GEN1).commit(), generation=100)
+    erase_only = SegmentIndexSession()
+    erase_only.erase(2)
+    erase_only.erase(4)
+    seg = erase_only.commit()
+    assert seg.n_docs == 0 and list(seg.updated_ids) == [2, 4]
+    c.add_segment(seg, generation=200)
+    assert list(c.match_ids("apple")) == [1, 3]  # 4 masked
+    assert list(c.match_ids("galaxy")) == []  # 2 masked
+    c.persist(str(tmp_path))
+    c2 = IndexSourcesCollection.load(str(tmp_path))
+    assert list(c2.match_ids("apple")) == [1, 3]
+    assert [r.doc_id for r in c2.search("apple", k=10)] == [
+        r.doc_id for r in c.search("apple", k=10)
+    ]
+
+
 def test_collection_persist_load(tmp_path):
     c = build_collection()
     c.persist(str(tmp_path))
