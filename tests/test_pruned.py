@@ -54,6 +54,23 @@ def test_pruned_not_shape(big):
         ], q
 
 
+def test_pruned_matches_empty_routes_dense(big):
+    """Tapes that match a doc containing NONE of their terms (e.g. an OR
+    with an optional branch) are unsound for the WAND presence bound AND
+    for the chunk evaluator's zeroed-cell padding trick (dead pad rows
+    would surface every doc of a duplicated window as a score-0 match).
+    They must route to the dense batch and stay exact."""
+    ex, _ = big
+    for q in ("t0 OR <t1>", "<t1> OR t0"):
+        before = _rounds()
+        pruned = ex.search_pruned(q, k=10, chunk_windows=2)
+        assert _rounds() == before, q  # no pruned chunk ran: dense fallback
+        dense = ex.search(q, k=10)
+        assert [(r.doc_id, r.score) for r in pruned] == [
+            (r.doc_id, r.score) for r in dense
+        ], q
+
+
 def test_pruned_fallback_on_complex(big):
     ex, _ = big
     q = '"t0 t1" OR t3'  # phrase shape -> dense fallback

@@ -482,6 +482,35 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
     return aot_jit(run, "_build_batch_combined", spec, scorer_name, W, k, interpret)
 
 
+def _tape_matches_empty(tape) -> bool:
+    """True when the tape matches a document containing NONE of its terms
+    (all-optional roots, pure negation, MatchSome with kmin=0, ...).
+
+    Such queries match docs in windows where no query term is present, so
+    the presence half of the WAND bound is unsound for them, and the
+    pruned chunk evaluators' zeroed-cell trick (padding-duplicate window
+    neutralization) would turn dead rows into score-0 matches. The pruned
+    path routes them to the dense batch — they have nothing to prune
+    anyway (every window contains matches)."""
+    kind = tape[0]
+    if kind in ("tok", "phrase", "false"):
+        return False
+    if kind == "and":
+        return _tape_matches_empty(tape[1]) and _tape_matches_empty(tape[2])
+    if kind == "or":
+        return _tape_matches_empty(tape[1]) or _tape_matches_empty(tape[2])
+    if kind == "not":
+        return _tape_matches_empty(tape[1]) and not _tape_matches_empty(tape[2])
+    if kind == "unot":
+        return not _tape_matches_empty(tape[1])
+    if kind == "opt":
+        return True
+    if kind == "some":
+        _, kmin, children = tape
+        return sum(_tape_matches_empty(c) for c in children) >= kmin
+    return True  # unknown node: conservative — keep it on the dense path
+
+
 def _tape_window_bounds(seg, tape, cs_h, cn_h, w_h, model, col):
     """Per-window (score upper bound, presence) for ANY boolean tape — the
     generalized WAND bound (docset_iterators.h:38-60), round 3 extension of
@@ -492,9 +521,15 @@ def _tape_window_bounds(seg, tape, cs_h, cn_h, w_h, model, col):
     under a k-of-n presence count; ConstTrueExpr and unary-NOT can match
     anywhere with zero own contribution. Scores are non-negative (BM25/
     TF-IDF/Trivial weights >= 0), so summed child bounds are sound.
-    Over-inclusive at window boundaries — safe for an upper bound. Phrase
-    tapes are excluded by the caller (the pruned chunk evaluator has no
-    verification machinery)."""
+
+    All sums are f32 in the SAME tree order as the kernel's accumulation
+    (_eval_tape / eval_flat_tiles slot order): f32 addition is monotone,
+    and each leaf bound >= the leaf's f32 doc score, so every f32 partial
+    sum — and hence the final bound — is >= any achievable f32 doc score.
+    An f64 bound sum can round BELOW the kernel's rounded-up f32 score and
+    wrongfully early-resolve a tie. Over-inclusive at window boundaries —
+    safe for an upper bound. Phrase tapes and matches-empty tapes are
+    excluded by the caller (no verification machinery; unsound presence)."""
     W = cs_h.shape[0]
     kind = tape[0]
     if kind == "tok":
@@ -503,7 +538,7 @@ def _tape_window_bounds(seg, tape, cs_h, cn_h, w_h, model, col):
         starts = cs_h[:, c]
         counts = cn_h[:, c]
         has = counts > 0
-        ub = np.zeros(W, np.float64)
+        ub = np.zeros(W, np.float32)
         if has.any():
             mf = np.zeros(W, np.int64)
             idx = np.flatnonzero(has)
@@ -518,37 +553,38 @@ def _tape_window_bounds(seg, tape, cs_h, cn_h, w_h, model, col):
             )
             ub = np.where(
                 has,
-                model.score_tile(mf.astype(np.float32), w_h[widx]).astype(
-                    np.float64
+                np.asarray(
+                    model.score_tile(mf.astype(np.float32), w_h[widx]),
+                    np.float32,
                 ),
-                0.0,
+                np.float32(0.0),
             )
         return ub, has
     if kind in ("and", "or"):
         lu, lp = _tape_window_bounds(seg, tape[1], cs_h, cn_h, w_h, model, col)
         ru, rp = _tape_window_bounds(seg, tape[2], cs_h, cn_h, w_h, model, col)
         present = (lp & rp) if kind == "and" else (lp | rp)
-        return np.where(present, lu + ru, 0.0), present
+        return np.where(present, lu + ru, np.float32(0.0)), present
     if kind == "not":
         lu, lp = _tape_window_bounds(seg, tape[1], cs_h, cn_h, w_h, model, col)
         return lu, lp
     if kind == "unot":
-        return np.zeros(W), np.ones(W, bool)
+        return np.zeros(W, np.float32), np.ones(W, bool)
     if kind == "opt":
         cu, cp = _tape_window_bounds(seg, tape[1], cs_h, cn_h, w_h, model, col)
-        return np.where(cp, cu, 0.0), np.ones(W, bool)
+        return np.where(cp, cu, np.float32(0.0)), np.ones(W, bool)
     if kind == "some":
         _, kmin, children = tape
-        tot = np.zeros(W, np.float64)
+        tot = np.zeros(W, np.float32)
         cnt = np.zeros(W, np.int64)
         for ch in children:
             cu, cp = _tape_window_bounds(seg, ch, cs_h, cn_h, w_h, model, col)
             tot += cu
             cnt += cp
         present = cnt >= kmin
-        return np.where(present, tot, 0.0), present
+        return np.where(present, tot, np.float32(0.0)), present
     if kind == "false":
-        return np.zeros(W), np.zeros(W, bool)
+        return np.zeros(W, np.float32), np.zeros(W, bool)
     raise ValueError(kind)
 
 
@@ -557,6 +593,33 @@ def deleted_take(deleted, window_base, jnp):
     each window is a contiguous WINDOW_SIZE-doc range, so this is M row
     pulls instead of M*16384 element gathers (~7 ns/element on v5e)."""
     return ~deleted.reshape(-1, WINDOW_SIZE)[window_base]
+
+
+def _pruned_pack_topk(jax, jnp, mask, score, window_base, n_docs, deleted, B, k):
+    """Shared tail of the pruned chunk evaluators: liveness + deletion
+    masking, NEG_INF fill, flat top_k (docid-asc ties hold because
+    window_base is ascending within the chunk), and the packed single
+    output (B gv rows, then B f32 docid rows — docids < 2^24 f32-exact,
+    guarded by limits.MAX_SEGMENT_DOCS)."""
+    M = mask.shape[1]
+    gid = (
+        window_base[:, None] * WINDOW_SIZE
+        + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
+    )  # (M, N)
+    mask = mask & (gid < n_docs)[None]
+    if deleted is not None:
+        mask = mask & deleted_take(deleted, window_base, jnp)[None]
+    scores = jnp.where(mask, score, NEG_INF)  # (B, M, N)
+    gv, gidx = jax.lax.top_k(scores.reshape(B, -1), k)
+    w_of = gidx // WINDOW_SIZE
+    gdoc = (
+        jnp.take_along_axis(
+            jnp.broadcast_to(window_base[None, :], (B, M)), w_of, axis=1
+        )
+        * WINDOW_SIZE
+        + gidx % WINDOW_SIZE
+    )
+    return jnp.concatenate([gv, gdoc.astype(jnp.float32)], axis=0)
 
 
 @functools.lru_cache(maxsize=256)
@@ -578,24 +641,9 @@ def _build_pruned_batch_fn(tape, scorer_name, M, T, B, k, interpret):
         freq = tiles.reshape(M, B, T, WINDOW_SIZE).transpose(1, 0, 2, 3)
         wsel = lambda i: weights[:, i, None, None]
         mask, score = _eval_tape(tape, freq, wsel, scorer_cls, jnp)
-        gid = (
-            window_base[:, None] * WINDOW_SIZE
-            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
-        )  # (M, N)
-        mask = mask & (gid < n_docs)[None]
-        if deleted is not None:
-            mask = mask & deleted_take(deleted, window_base, jnp)[None]
-        scores = jnp.where(mask, score, NEG_INF)  # (B, M, N)
-        gv, gidx = jax.lax.top_k(scores.reshape(B, -1), k)
-        w_of = gidx // WINDOW_SIZE
-        gdoc = (
-            jnp.take_along_axis(
-                jnp.broadcast_to(window_base[None, :], (B, M)), w_of, axis=1
-            )
-            * WINDOW_SIZE
-            + gidx % WINDOW_SIZE
+        return _pruned_pack_topk(
+            jax, jnp, mask, score, window_base, n_docs, deleted, B, k
         )
-        return jnp.concatenate([gv, gdoc.astype(jnp.float32)], axis=0)
 
     return aot_jit(run, "_build_pruned_batch_fn", tape, scorer_name, M, T, B, k, interpret)
 
@@ -626,24 +674,9 @@ def _build_pruned_flat_batch_fn(scorer_name, M, T, B, k, interpret):
             lambda t: weights[:, t, None, None],
             scorer_cls, T,
         )
-        gid = (
-            window_base[:, None] * WINDOW_SIZE
-            + jnp.arange(WINDOW_SIZE, dtype=jnp.int32)[None, :]
-        )  # (M, N)
-        mask = mask & (gid < n_docs)[None]
-        if deleted is not None:
-            mask = mask & deleted_take(deleted, window_base, jnp)[None]
-        scores = jnp.where(mask, score, NEG_INF)  # (B, M, N)
-        gv, gidx = jax.lax.top_k(scores.reshape(B, -1), k)
-        w_of = gidx // WINDOW_SIZE
-        gdoc = (
-            jnp.take_along_axis(
-                jnp.broadcast_to(window_base[None, :], (B, M)), w_of, axis=1
-            )
-            * WINDOW_SIZE
-            + gidx % WINDOW_SIZE
+        return _pruned_pack_topk(
+            jax, jnp, mask, score, window_base, n_docs, deleted, B, k
         )
-        return jnp.concatenate([gv, gdoc.astype(jnp.float32)], axis=0)
 
     return aot_jit(run, "_build_pruned_flat_batch_fn", scorer_name, M, T, B, k, interpret)
 
@@ -1495,7 +1528,11 @@ class Executor:
         for qi, plan in enumerate(parsed):
             if plan is None:
                 continue
-            if plan.has_phrase:
+            if plan.has_phrase or _tape_matches_empty(plan.tape):
+                # phrase: no verification machinery here; matches-empty
+                # (all-optional / pure-negation / kmin=0): WAND presence is
+                # unsound and padding-duplicate windows would surface as
+                # score-0 matches — both run dense, exactly.
                 fallback_idx.append(qi)
                 continue
             key = plan.tape
@@ -1530,7 +1567,7 @@ class Executor:
             else:
                 nw = len(members[0][1].weight_terms)
                 weights = np.zeros((B, nw), np.float32)
-            ub = np.zeros((B, W), np.float64)
+            ub = np.zeros((B, W), np.float32)
             for bi, (qi, plan) in enumerate(members):
                 tids = [seg.term_id(t) for t in plan.term_texts]
                 c_s, c_n = compute_cells(seg, tids)
@@ -1550,13 +1587,19 @@ class Executor:
                 else:
                     weights[bi] = wrow
                 # the WAND bound always uses the member's OWN tape; weights
-                # must be the f32 values the kernel scores with (an f64
-                # weight can sit 1 ulp BELOW its f32 rounding, putting the
-                # bound under an actual tie score -> wrongful early resolve)
+                # must be the f32 values the kernel scores with, and the
+                # bound accumulates in f32 tree order (see
+                # _tape_window_bounds) so no rounding can put it under an
+                # achievable tie score -> wrongful early resolve
                 ub[bi], _ = _tape_window_bounds(
                     seg, plan.tape, cs, cn, np.asarray(wrow, np.float32),
                     model, col=lambda ti, b=bi: b * T + ti,
                 )
+                # pad for the <=2-ulp/leaf device-vs-host score drift (XLA
+                # FMA contraction, the engine-vs-oracle invariant): the
+                # strict-< tie guard stays sound even when the kernel's
+                # leaf score rounds above the host-computed leaf bound
+                ub[bi] *= np.float32(1.0 + 6e-7 * max(1, plan.n_slots))
             order = np.argsort(-ub.max(axis=0), kind="stable").astype(np.int32)
             if is_flat:
                 fn_flat = _build_pruned_flat_batch_fn(
