@@ -70,3 +70,11 @@ def test_random_tree_parity(corpus, seed):
     np.testing.assert_array_equal(
         ex.match_ids(root), np.array(oracle_match_ids(oc, root), np.uint32)
     )
+    # the pruned path must be indistinguishable from dense on ANY shape:
+    # phrase/matches-empty roots route to the dense fallback, the rest run
+    # the chunk evaluator (W=1 with chunk_windows=2 exercises the
+    # padding-duplicate window neutralization on every chunk)
+    pruned = ex.search_pruned(root, k=10, chunk_windows=2)
+    assert [(r.doc_id, r.score) for r in pruned] == [
+        (r.doc_id, r.score) for r in got
+    ], repr(root)
