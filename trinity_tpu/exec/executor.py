@@ -1093,6 +1093,67 @@ def _build_phrase_batch_fused(
     return aot_jit(run, "_build_phrase_batch_fused", tape, scorer_name, W, T, B, k, C, phrase_slots, fcaps, interpret)
 
 
+def _pick_c2(total_bound: int, c2_cap: int, k: int) -> int:
+    """Smallest lazy-phrase candidate-capacity bucket covering the group's
+    largest min-member df (and k), capped at the configured C2 — shared by
+    the single-chip and mesh lazyph preps so both compile the same variant
+    ladder (warmup coverage keys on C2)."""
+    for c2b in (256, 512, 1024, 2048, 4096):
+        if total_bound <= c2b <= c2_cap and k <= c2b:
+            return c2b
+    return c2_cap
+
+
+def _pick_bucket(buckets, n: int) -> int:
+    """Smallest batch bucket >= n, or n itself above the ladder — ONE
+    policy for every grouped program (dense/flat/phrase/pruned, single-chip
+    and mesh): bucket drift between prep paths would compile distinct
+    variants for the same workload and hollow out warmup coverage."""
+    return next((b for b in buckets if b >= n), n)
+
+
+def warmup_driver(target, queries, k, scorer, batch, threads) -> dict:
+    """Shared warmup submission/accounting for Executor and the mesh
+    executors. EVERY query goes through, not a tape-deduped sample:
+    program variants are keyed by more than the tape (phrase C2/fcap
+    ladder buckets, geometry buckets, mode), so a representative probe per
+    tape misses variants that would then compile INSIDE the serving loop
+    (observed: 14 s p99 from one in-loop phrase-ladder compile). Variant
+    dedup happens in the builder lru caches and the per-variant _AotJit
+    compile locks — duplicate submissions block on the first compile, then
+    run in microseconds. The thread pool exploits that XLA/PJRT compiles
+    release the GIL (remote RPCs on the axon backend), so warmup wall
+    tracks the slowest variant, not the sum."""
+    import concurrent.futures as cf
+    import time as _time
+
+    from trinity_tpu.utils.metrics import get_metrics
+
+    def _count():
+        snap = get_metrics().snapshot()
+        return sum(
+            v["value"]
+            for kk, v in snap.items()
+            if kk in ("aot.compiled", "aot.loaded")
+        )
+
+    t0 = _time.time()
+    before = _count()
+    qs = list(queries)
+    with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
+        futs = [pool.submit(target.search, q, k=k, scorer=scorer) for q in qs]
+        if batch and qs:
+            futs.append(pool.submit(target.search_batch, qs, k=k, scorer=scorer))
+        for f in futs:
+            f.result()
+    return {
+        # aot-tracked compile/load events (0 when the cache is off)
+        "programs": _count() - before,
+        "variants": len(qs) + (1 if batch and qs else 0),
+        "seconds": _time.time() - t0,
+    }
+
+
 class Executor:
     """Per-segment search session (the IndexSource + exec_query analog).
 
@@ -1339,47 +1400,10 @@ class Executor:
         (tape shape, geometry, candidate/fcap buckets), so a serving process
         should warm with a representative query sample at startup.
 
-        Queries are DEDUPED by tape (same tape -> same program variant) and
-        compiled on a thread pool: XLA/PJRT compiles release the GIL (on the
-        axon backend they are remote RPCs), so distinct variants compile
-        CONCURRENTLY — warmup wall tracks the slowest variant, not the sum.
-        Returns {"programs", "seconds"} for BENCH metadata."""
-        import concurrent.futures as cf
-        import time as _time
-
-        from trinity_tpu.utils.metrics import get_metrics
-
-        def _count():
-            snap = get_metrics().snapshot()
-            return sum(
-                v["value"]
-                for kk, v in snap.items()
-                if kk in ("aot.compiled", "aot.loaded")
-            )
-
-        t0 = _time.time()
-        before = _count()
-        qs = list(queries)
-        # EVERY query goes through, not a tape-deduped sample: program
-        # variants are keyed by more than the tape (phrase C2/fcap ladder
-        # buckets, pruned-chunk geometry, mode), so a representative probe
-        # per tape misses variants that would then compile INSIDE the
-        # serving loop (observed: 14 s p99 from one in-loop phrase-ladder
-        # compile). Variant dedup happens in the builder lru caches and
-        # the per-variant _AotJit compile locks — duplicate submissions
-        # block on the first compile, then run in microseconds.
-        with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
-            futs = [pool.submit(self.search, q, k, scorer) for q in qs]
-            if batch and qs:
-                futs.append(pool.submit(self.search_batch, qs, k, scorer))
-            for f in futs:
-                f.result()
-        return {
-            # aot-tracked compile/load events (0 when the cache is off)
-            "programs": _count() - before,
-            "variants": len(qs) + (1 if batch and qs else 0),
-            "seconds": _time.time() - t0,
-        }
+        Submission and accounting are shared with the mesh executors
+        (warmup_driver below).
+        Returns {"programs", "variants", "seconds"} for BENCH metadata."""
+        return warmup_driver(self, queries, k, scorer, batch, threads)
 
     # -------------------------------------------------------------- search
     def launch(self, query, k=10, scorer="bm25", stats=None, df_of=None):
@@ -1552,11 +1576,7 @@ class Executor:
         for key, members in groups.items():
             is_flat = key[0] == "flat"
             T = key[1] if is_flat else _pad_T(members[0][1].n_slots)
-            B = (
-                next(b for b in buckets if b >= len(members))
-                if len(members) <= buckets[-1]
-                else len(members)
-            )
+            B = _pick_bucket(buckets, len(members))
             nb = len(members)
             cs = np.zeros((W, B * T), np.int32)
             cn = np.zeros((W, B * T), np.int32)
@@ -1772,11 +1792,7 @@ class Executor:
         for key, members in groups.items():
             is_flat = key[0] == "flat"
             T = key[1] if is_flat else _pad_T(members[0][1].n_slots)
-            B = (
-                next(b for b in buckets if b >= len(members))
-                if len(members) <= buckets[-1]
-                else len(members)
-            )
+            B = _pick_bucket(buckets, len(members))
             cs = np.zeros((seg.n_windows, B * T), np.int32)
             cn = np.zeros((seg.n_windows, B * T), np.int32)
             if is_flat:
@@ -1954,11 +1970,7 @@ class Executor:
         if fcaps_t is None or k < 1:
             return None
         buckets = get_config().batch_buckets
-        B = (
-            next(b for b in buckets if b >= len(members))
-            if len(members) <= buckets[-1]
-            else len(members)
-        )
+        B = _pick_bucket(buckets, len(members))
         cs = np.zeros((W, B * T), np.int32)
         cn = np.zeros((W, B * T), np.int32)
         weights = np.zeros(B, np.float32)
@@ -1982,10 +1994,7 @@ class Executor:
                 tid = seg.term_id(plan.term_texts[s])
                 dfs.append(int(seg.term_df[tid]) if tid >= 0 else 0)
             total_bound = max(total_bound, min(dfs))
-        for c2b in (256, 512, 1024, 2048, 4096):
-            if total_bound <= c2b <= C2 and k <= c2b:
-                C2 = c2b
-                break
+        C2 = _pick_c2(total_bound, C2, k)
         # C2 >= the largest min-member-df in the group bounds every
         # conjunction count: overflow is impossible and the selection's
         # threshold search compiles away (ops/select.py)
@@ -2085,11 +2094,7 @@ class Executor:
 
         get_metrics().count("phrase.host_verify")
         buckets = get_config().batch_buckets
-        B = (
-            next(b for b in buckets if b >= len(members))
-            if len(members) <= buckets[-1]
-            else len(members)
-        )
+        B = _pick_bucket(buckets, len(members))
         cs = np.zeros((W, B * T), np.int32)
         cn = np.zeros((W, B * T), np.int32)
         weights = np.zeros(B, np.float32)
@@ -2192,11 +2197,7 @@ class Executor:
         phrase_slots = tuple(slots for slots, _ in phrases)
         nw = len(plan0.weight_terms)
         buckets = get_config().batch_buckets
-        B = (
-            next(b for b in buckets if b >= len(members))
-            if len(members) <= buckets[-1]
-            else len(members)
-        )
+        B = _pick_bucket(buckets, len(members))
         cs = np.zeros((W, B * T), np.int32)
         cn = np.zeros((W, B * T), np.int32)
         weights = np.zeros((B, nw), np.float32)

@@ -32,50 +32,6 @@ from trinity_tpu.utils.aotcache import aot_jit
 NEG_INF = float("-inf")
 
 
-def _parallel_warmup(target, queries, k, scorer, batch, threads) -> dict:
-    """Shared warmup driver: dedup queries by compiled tape (same tape ->
-    same program variant), then compile concurrently on a thread pool —
-    XLA/PJRT compiles release the GIL (remote RPCs on the axon backend), so
-    warmup wall tracks the slowest variant, not the sum. Returns
-    {"programs", "seconds"} for BENCH metadata."""
-    import concurrent.futures as cf
-    import time as _time
-
-    from trinity_tpu.utils.metrics import get_metrics
-
-    def _count():
-        snap = get_metrics().snapshot()
-        return sum(
-            v["value"]
-            for kk, v in snap.items()
-            if kk in ("aot.compiled", "aot.loaded")
-        )
-
-    t0 = _time.time()
-    before = _count()
-    qs = list(queries)
-    # every query, not a tape-deduped sample — variants are keyed by more
-    # than the tape (phrase ladders, geometry buckets); duplicates dedupe
-    # in the builder caches + per-variant _AotJit locks (see
-    # Executor.warmup)
-    with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
-        futs = [
-            pool.submit(target.search, q, k=k, scorer=scorer) for q in qs
-        ]
-        if batch and qs:
-            futs.append(
-                pool.submit(target.search_batch, qs, k=k, scorer=scorer)
-            )
-        for f in futs:
-            f.result()
-    return {
-        # aot-tracked compile/load events (0 when the cache is off)
-        "programs": _count() - before,
-        "variants": len(qs) + (1 if batch and qs else 0),
-        "seconds": _time.time() - t0,
-    }
-
-
 class _StatsProxy:
     """Aggregated stats carrier for per-shard scoring (docs_cnt only)."""
 
@@ -99,11 +55,14 @@ def split_segment(seg: SegmentData, n_shards: int) -> List[SegmentData]:
     from trinity_tpu.index.format import decode_all_postings
 
     tids, docs, freqs = decode_all_postings(seg)
-    f64 = freqs.astype(np.int64)
-    total_hits = int(f64.sum())
-    hit_doc = np.repeat(docs.astype(np.int64), f64)
-    hit_tid = np.repeat(tids.astype(np.int64), f64)
-    pos = np.asarray(seg.positions[:total_hits], dtype=np.int64)
+    counts = freqs.astype(np.int64)
+    total_hits = int(counts.sum())
+    # int32 streams: docids < 2^24 (limits.MAX_SEGMENT_DOCS) and term ids
+    # fit comfortably — the transient hit stream is the peak-RSS driver
+    # when sharding a large segment on this host
+    hit_doc = np.repeat(docs.astype(np.int32), counts)
+    hit_tid = np.repeat(tids.astype(np.int32), counts)
+    pos = np.asarray(seg.positions[:total_hits])
     pay = (
         seg.payloads[:total_hits] if seg.payloads is not None else None
     )
@@ -130,6 +89,17 @@ def split_segment(seg: SegmentData, n_shards: int) -> List[SegmentData]:
             )
         )
     return shards
+
+
+def _mesh_fp(mesh):
+    """AOT-cache key part identifying the mesh: input avals capture only
+    dtype/shape, not device assignment, so an executable serialized for
+    one mesh (devices, order, axis names) must not deserialize for
+    another (utils/aotcache.py key contract)."""
+    return (
+        tuple(str(d) for d in np.asarray(mesh.devices).ravel()),
+        tuple(mesh.axis_names),
+    )
 
 
 @functools.lru_cache(maxsize=256)
@@ -199,7 +169,7 @@ def _build_sharded_fn(
         gv, gidx = jax.lax.top_k(flat_v, k)
         return gv, flat_i[gidx]
 
-    return aot_jit(run, "_build_sharded_fn", tape, scorer_name, S, W, T, k, interpret, axis, with_deleted)
+    return aot_jit(run, "_build_sharded_fn", tape, scorer_name, S, W, T, k, interpret, axis, with_deleted, _mesh_fp(mesh))
 
 
 @functools.lru_cache(maxsize=64)
@@ -269,7 +239,7 @@ def _build_sharded_flat_fn(
         gv, gidx = jax.lax.top_k(sv.reshape(-1), k)
         return gv, si.reshape(-1)[gidx]
 
-    return aot_jit(run, "_build_sharded_flat_fn", scorer_name, S, W, T, k, interpret, axis, with_deleted)
+    return aot_jit(run, "_build_sharded_flat_fn", scorer_name, S, W, T, k, interpret, axis, with_deleted, _mesh_fp(mesh))
 
 
 @functools.lru_cache(maxsize=256)
@@ -398,7 +368,7 @@ def _build_sharded_phrase_fn(
         # (exec.h:55-58), now over ICI-gathered fixed-k rows
         return f(*args)  # (S, k), (S, k), (S,)
 
-    return aot_jit(run, "_build_sharded_phrase_fn", tape, scorer_name, S, W, T, C, phrase_slots, fcaps, k, interpret, axis, with_deleted)
+    return aot_jit(run, "_build_sharded_phrase_fn", tape, scorer_name, S, W, T, C, phrase_slots, fcaps, k, interpret, axis, with_deleted, _mesh_fp(mesh))
 
 
 @functools.lru_cache(maxsize=64)
@@ -526,7 +496,7 @@ def _build_mesh_batch_combined(
         )
         return f(*args, *flat)
 
-    return aot_jit(run, "_build_mesh_batch_combined", spec, scorer_name, S, W, k, interpret, axis, with_deleted)
+    return aot_jit(run, "_build_mesh_batch_combined", spec, scorer_name, S, W, k, interpret, axis, with_deleted, _mesh_fp(mesh))
 
 
 class MeshExecutor:
@@ -600,6 +570,8 @@ class MeshExecutor:
         self._deleted = None  # sharded (S, W*WINDOW) bool or None
         self._deleted_np = None
         self._hits = None  # lazily stacked per-shard positions streams
+        self._mf_cache: dict = {}  # term -> cross-shard max freq
+        self._hits_dummy = None  # placeholders for phrase-free batches
 
     # ------------------------------------------------------------ plumbing
     def set_masked_local_docs(self, global_ids: Optional[np.ndarray]):
@@ -657,6 +629,25 @@ class MeshExecutor:
                 jax.device_put(jnp.asarray(off), sh),
             )
         return self._hits
+
+    def _dummy_hits(self):
+        """Placeholder positions streams for batches with NO lazy-phrase
+        group: the combined program never reads them, so a pure-boolean
+        workload skips stacking + uploading every shard's full hit planes
+        into HBM (they are permanent residents once uploaded)."""
+        if self._hits_dummy is None:
+            import jax
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            S = len(self.shards)
+            sh = NamedSharding(self.mesh, P(self.axis))
+            self._hits_dummy = (
+                jax.device_put(jnp.zeros((S, 1, 128), jnp.uint32), sh),
+                jax.device_put(jnp.zeros((S, 1), jnp.int32), sh),
+            )
+        return self._hits_dummy
 
     def _shard_executors(self):
         """Lazy per-shard Executors sharing the mesh's device arrays (no
@@ -805,41 +796,20 @@ class MeshExecutor:
             _phrase_c_bound,
             _phrase_c_bucket,
         )
-        from trinity_tpu.exec.phrases import collect_phrases, fcap_bucket
+        from trinity_tpu.exec.phrases import collect_phrases
 
         phrases = collect_phrases(plan.tape)
         phrase_slots = tuple(slots for slots, _ in phrases)
         # fcaps from the max member freq across ALL shards (uniform program)
-        fcaps = []
-        device_ok = any(len(s.hit_group_off) >= 2 for s in self.shards)
-        for slots in phrase_slots:
-            mem = []
-            for s in slots:
-                text = plan.term_texts[s]
-                mf = 1
-                for shard in self.shards:
-                    tid = shard.term_id(text)
-                    if tid >= 0 and shard.term_nblocks[tid]:
-                        b0 = int(shard.term_block_start[tid])
-                        nb = int(shard.term_nblocks[tid])
-                        mf = max(
-                            mf, int(shard.block_max_freq[b0 : b0 + nb].max())
-                        )
-                b = fcap_bucket(mf)
-                if b is None:
-                    device_ok = False
-                    break
-                mem.append(b)
-            if not device_ok:
-                break
-            fcaps.append(tuple(mem))
-        if not device_ok:
+        fcaps = self._fcaps_for([plan], phrase_slots)
+        if fcaps is None:
             from trinity_tpu.utils.metrics import get_metrics
 
             get_metrics().count("phrase.host_verify")
             return ("phrase_host", (root, k, scorer, stats, df_of))
         if plan.tape[0] == "phrase":
-            # candidate capacity from the rarest member's df per shard
+            # candidate capacity from the rarest member's df per shard,
+            # on the SAME ladder the single-chip phrase programs use
             bound = 0
             for shard in self.shards:
                 dfs = []
@@ -847,11 +817,7 @@ class MeshExecutor:
                     tid = shard.term_id(plan.term_texts[s])
                     dfs.append(int(shard.term_df[tid]) if tid >= 0 else 0)
                 bound = max(bound, min(dfs))
-            C = WINDOW_SIZE
-            for c2b in (256, 512, 1024, 2048, 4096, 8192):
-                if bound <= c2b and k <= c2b:
-                    C = c2b
-                    break
+            C = _phrase_c_bucket(max(bound, k))
         else:
             bound = max(
                 _phrase_c_bound(cn[si], phrase_slots)
@@ -862,7 +828,7 @@ class MeshExecutor:
         hit_pw, hit_off = self._stacked_hits()
         run = _build_sharded_phrase_fn(
             plan.tape, scorer, len(self.shards), self.W, t_pad, C,
-            phrase_slots, tuple(fcaps), k, self.interpret, self.axis,
+            phrase_slots, fcaps, k, self.interpret, self.axis,
             self.mesh, self._deleted is not None,
         )
         out = run(
@@ -982,6 +948,22 @@ class MeshExecutor:
                 cn[si, : c_n.shape[0], bi * T : bi * T + plan.n_slots] = c_n
         return cs, cn
 
+    def _member_max_freq(self, text: str) -> int:
+        """Cross-shard max in-doc frequency of a term, cached per executor
+        (the mesh twin of Executor's term max-freq cache — block_max_freq
+        scans over every shard are host-side work in the serving path)."""
+        mf = self._mf_cache.get(text)
+        if mf is None:
+            mf = 1
+            for shard in self.shards:
+                tid = shard.term_id(text)
+                if tid >= 0 and shard.term_nblocks[tid]:
+                    b0 = int(shard.term_block_start[tid])
+                    nb = int(shard.term_nblocks[tid])
+                    mf = max(mf, int(shard.block_max_freq[b0 : b0 + nb].max()))
+            self._mf_cache[text] = mf
+        return mf
+
     def _fcaps_for(self, plans, phrase_slots):
         """Cross-shard fcap ladder (max member freq over ALL shards), or
         None when any member exceeds it (mirrors Executor._phrase_fcaps)."""
@@ -993,18 +975,10 @@ class MeshExecutor:
         for slots in phrase_slots:
             mem = []
             for sl in slots:
-                mf = 1
-                for plan in plans:
-                    text = plan.term_texts[sl]
-                    for shard in self.shards:
-                        tid = shard.term_id(text)
-                        if tid >= 0 and shard.term_nblocks[tid]:
-                            b0 = int(shard.term_block_start[tid])
-                            nb = int(shard.term_nblocks[tid])
-                            mf = max(
-                                mf,
-                                int(shard.block_max_freq[b0 : b0 + nb].max()),
-                            )
+                mf = max(
+                    self._member_max_freq(plan.term_texts[sl])
+                    for plan in plans
+                )
                 b = fcap_bucket(mf)
                 if b is None:
                     return None
@@ -1018,18 +992,14 @@ class MeshExecutor:
         largest per-shard min-member df, fcaps from cross-shard max freqs.
         Returns (spec_entry, (cs, cn, weights)) or None -> fallback."""
         from trinity_tpu.config import get_config
-        from trinity_tpu.exec.executor import _pad_T
+        from trinity_tpu.exec.executor import _pad_T, _pick_bucket, _pick_c2
 
         slots = key[1]
         fcaps = self._fcaps_for([p for _, p, _ in members], (slots,))
         if fcaps is None or k < 1:
             return None
         buckets = get_config().batch_buckets
-        B = (
-            next(b for b in buckets if b >= len(members))
-            if len(members) <= buckets[-1]
-            else len(members)
-        )
+        B = _pick_bucket(buckets, len(members))
         T = _pad_T(members[0][1].n_slots)
         cs, cn = self._group_cells(members, T, B)
         weights = np.zeros(B, np.float32)
@@ -1049,10 +1019,7 @@ class MeshExecutor:
                     tid = shard.term_id(plan.term_texts[sl])
                     dfs.append(int(shard.term_df[tid]) if tid >= 0 else 0)
                 total_bound = max(total_bound, min(dfs))
-        for c2b in (256, 512, 1024, 2048, 4096):
-            if total_bound <= c2b <= C2 and k <= c2b:
-                C2 = c2b
-                break
+        C2 = _pick_c2(total_bound, C2, k)
         no_overflow = total_bound <= C2
         spec = ("lazyph", slots, T, B, C2, fcaps[0], no_overflow)
         return spec, (cs, cn, weights)
@@ -1074,6 +1041,7 @@ class MeshExecutor:
             _flatten_tape,
             _fused_used_slots,
             _pad_T,
+            _pick_bucket,
             _plan_for_text,
         )
         from trinity_tpu.utils.metrics import get_metrics
@@ -1117,11 +1085,7 @@ class MeshExecutor:
         for key, members in groups.items():
             is_flat = key[0] == "flat"
             T = key[1] if is_flat else _pad_T(members[0][1].n_slots)
-            B = (
-                next(b for b in buckets if b >= len(members))
-                if len(members) <= buckets[-1]
-                else len(members)
-            )
+            B = _pick_bucket(buckets, len(members))
             cs, cn = self._group_cells(members, T, B)
             if is_flat:
                 weights = np.zeros((B, T), np.float32)
@@ -1181,7 +1145,10 @@ class MeshExecutor:
                     )
         packed_dev = None
         if spec_entries:
-            hit_pw, hit_off = self._stacked_hits()
+            if any(e[0] == "lazyph" for e in spec_entries):
+                hit_pw, hit_off = self._stacked_hits()
+            else:
+                hit_pw, hit_off = self._dummy_hits()
             fn = _build_mesh_batch_combined(
                 tuple(spec_entries), scorer, len(self.shards), self.W, k,
                 self.interpret, self.axis, self.mesh,
@@ -1255,10 +1222,13 @@ class MeshExecutor:
     def warmup(self, queries, k: int = 10, scorer: str = "bm25",
                batch: bool = True, threads: int = 8) -> dict:
         """Compile every sharded-program variant the workload touches, so
-        serving never pays a compile (exec.cpp:662-666 analog). Tape-deduped
-        and threaded like Executor.warmup — concurrent variants overlap
-        their (GIL-releasing) XLA compiles."""
-        return _parallel_warmup(self, queries, k, scorer, batch, threads)
+        serving never pays a compile (exec.cpp:662-666 analog). Every
+        query is submitted (variants key on more than the tape); threaded
+        so concurrent variants overlap their (GIL-releasing) XLA compiles
+        — see executor.warmup_driver."""
+        from trinity_tpu.exec.executor import warmup_driver
+
+        return warmup_driver(self, queries, k, scorer, batch, threads)
 
 
 class MeshSourcesCollection:
@@ -1352,5 +1322,7 @@ class MeshSourcesCollection:
     def warmup(self, queries, k: int = 10, scorer: str = "bm25",
                batch: bool = True, threads: int = 8) -> dict:
         """Compile all sources' program variants for the workload
-        (tape-deduped, threaded — see Executor.warmup)."""
-        return _parallel_warmup(self, queries, k, scorer, batch, threads)
+        (every query submitted, threaded — see executor.warmup_driver)."""
+        from trinity_tpu.exec.executor import warmup_driver
+
+        return warmup_driver(self, queries, k, scorer, batch, threads)
