@@ -221,6 +221,49 @@ def test_phrase_highfreq_member_on_device():
     assert after == before, "high-freq member fell back to host verification"
 
 
+def test_verify_phrases_device_large_fcap_chunked():
+    """The production shape for lazyph batches with a high-freq member:
+    candidates CHUNK through lax.map (chunk floors at 128, so n > 128)
+    with the windowed fori loops + all-invalid-chunk lax.cond skip inside
+    each map step — this nesting must compile and match the host verifier
+    (it is the serving path for B*C2-sized batches, not just n<=chunk)."""
+    import jax.numpy as jnp
+
+    from trinity_tpu.exec.phrases import verify_phrases_device
+    from trinity_tpu.utils.bitpack import pack_value_groups
+
+    rng = np.random.default_rng(31)
+    H = 9000
+    positions = rng.integers(0, 1 << 14, H).astype(np.uint16)
+    pw, off = pack_value_groups(positions)
+    hit_pw = jnp.asarray(
+        np.vstack([pw.reshape(-1, 128), np.zeros((1, 128), np.uint32)])
+    )
+    hit_off = jnp.asarray(off.astype(np.int32))
+    n = 300  # > 2 chunks of 128
+    for fcaps, maxf in (
+        ((8, 4096), (8, 1800)),   # high-freq second member in the map body
+        ((4096, 8), (1800, 8)),   # high-freq anchor (outer fori) in the map
+    ):
+        freqs = np.stack(
+            [rng.integers(1, mf + 1, n) for mf in maxf], axis=1
+        ).astype(np.int32)
+        offs = np.stack(
+            [rng.integers(0, H - mf, n) for mf in maxf], axis=1
+        ).astype(np.int32)
+        # docid-ordered prefix fill: the tail chunk is ALL invalid, so the
+        # lax.cond skip executes inside lax.map
+        valid = np.arange(n) < 140
+        want = verify_phrase_candidates(positions, valid, freqs, offs)
+        got = np.asarray(
+            verify_phrases_device(
+                hit_pw, hit_off, jnp.asarray(valid), jnp.asarray(freqs),
+                jnp.asarray(offs), fcaps, chunk_budget=1,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=str(fcaps))
+
+
 def test_verify_phrases_device_large_fcap_windows():
     """The windowed fori path (fcap > 512) == host verifier, including a
     high-freq ANCHOR member (outer window loop) and freqs that span
