@@ -206,14 +206,25 @@ def verify_phrases_device(
     po2 = offs.reshape(n, k)
     v2 = valid.reshape(n)
 
-    def anchor_block(pfc, poc, start, ok):
+    def member_decoded(pfc, poc):
+        """Single-window members' (vals, run) lanes, decoded ONCE per
+        chunk: inside the high-freq-anchor fori these are loop-invariant,
+        and XLA does not hoist size-inflating gathers out of while loops —
+        decoding them up front multiplies out the anchor window count."""
+        return {
+            m: _decode_member_lanes(
+                hit_pw, hit_off, poc[:, m], pfc[:, m], fcaps[m], jnp
+            )
+            for m in range(1, k)
+            if fcaps[m] <= SINGLE_WINDOW_FCAP
+        }
+
+    def anchor_block(pfc, poc, start, ok, decoded):
         """AND every member's adjacency over one anchor lane block."""
         for m in range(1, k):
             tgt = start + m  # (c, L0)
             if fcaps[m] <= SINGLE_WINDOW_FCAP:
-                vals, run = _decode_member_lanes(
-                    hit_pw, hit_off, poc[:, m], pfc[:, m], fcaps[m], jnp
-                )
+                vals, run = decoded[m]
                 hit = (
                     (vals[:, None, :] == tgt[:, :, None]) & run[:, None, :]
                 ).any(axis=2)
@@ -226,11 +237,12 @@ def verify_phrases_device(
         return ok.sum(axis=1).astype(jnp.int32)
 
     def live_chunk(pfc, poc):
+        decoded = member_decoded(pfc, poc)
         if fcaps[0] <= SINGLE_WINDOW_FCAP:
             start, ok = _decode_member_lanes(
                 hit_pw, hit_off, poc[:, 0], pfc[:, 0], fcaps[0], jnp
             )
-            return anchor_block(pfc, poc, start, ok)
+            return anchor_block(pfc, poc, start, ok, decoded)
         # high-freq anchor: stream its run through windows as well; each
         # anchor position lands in exactly one window, so per-window counts
         # sum to the member-0-anchored phrase frequency
@@ -249,7 +261,7 @@ def verify_phrases_device(
             )
             lane = lane0 + w * wl
             run = (lane >= lo) & (lane < end)
-            return total + anchor_block(pfc, poc, start, run)
+            return total + anchor_block(pfc, poc, start, run, decoded)
 
         return jax.lax.fori_loop(
             0, nwin_dyn, body, jnp.zeros(poc.shape[:1], jnp.int32)
