@@ -72,3 +72,37 @@ def test_unlimited_budget_never_evicts(budget):
         e.search("r1", k=3)
     assert all(e._dev is not None for e in exs)
     assert mgr.evictions == ev0
+
+
+def test_concurrent_eviction_race(budget):
+    """ensure() returns the device-array dict: a concurrent ensure() on
+    another executor may evict this one the instant the manager lock is
+    released, so readers must never re-read ex._dev (regression: NoneType
+    subscript crash under threaded warmup with a one-segment budget)."""
+    import threading
+
+    ex1, ex2 = Executor(_seg(3)), Executor(_seg(4))
+    # budget fits roughly one segment: every search on one evicts the other
+    configure(hbm_budget_bytes=max(ex1.device_bytes, ex2.device_bytes) + 1024)
+    want1 = [(r.doc_id, r.score) for r in ex1.search("r0 r1", k=5)]
+    want2 = [(r.doc_id, r.score) for r in ex2.search("r0 r1", k=5)]
+    errors = []
+
+    def hammer(ex, want):
+        try:
+            for _ in range(8):
+                got = [(r.doc_id, r.score) for r in ex.search("r0 r1", k=5)]
+                assert got == want
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=hammer, args=(ex1, want1)),
+        threading.Thread(target=hammer, args=(ex2, want2)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert get_residency().evictions > 0  # the budget actually thrashed

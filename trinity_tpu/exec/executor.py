@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import enum
 import functools
+import threading
 import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
@@ -1200,6 +1201,7 @@ class Executor:
             + self._hit_off_h.nbytes
         )
         self._dev: Optional[dict] = None
+        self._upload_lock = threading.Lock()  # serializes _upload per executor
         from trinity_tpu.exec.residency import get_residency
 
         self._residency = get_residency()
@@ -1233,23 +1235,21 @@ class Executor:
 
     @property
     def bmeta(self):
-        self._residency.ensure(self)
-        return self._dev["bmeta"]
+        # read from the RETURNED dict: self._dev may be concurrently
+        # evicted the moment ensure() releases the manager lock
+        return self._residency.ensure(self)["bmeta"]
 
     @property
     def planes(self):
-        self._residency.ensure(self)
-        return self._dev["planes"]
+        return self._residency.ensure(self)["planes"]
 
     @property
     def hit_pw(self):
-        self._residency.ensure(self)
-        return self._dev["hit_pw"]
+        return self._residency.ensure(self)["hit_pw"]
 
     @property
     def hit_off(self):
-        self._residency.ensure(self)
-        return self._dev["hit_off"]
+        return self._residency.ensure(self)["hit_off"]
 
     # ------------------------------------------------------------ plumbing
     def set_masked_local_docs(self, local_ids: Optional[np.ndarray]):

@@ -11,9 +11,16 @@ executor transparently re-uploads on its next search. Host-side packed
 arrays are always kept, so eviction costs one host->device transfer to
 undo, never a re-pack.
 
-Thread-safe (warmup compiles on a pool); the LRU is touched per
-ensure_resident call, which each dispatch makes exactly once per input
-array group.
+Thread-safe (warmup compiles on a pool): ensure() RETURNS the device-array
+dict read under the manager lock — callers must use the returned dict, not
+re-read executor state, because a concurrent ensure() on another executor
+may evict this one immediately after ensure() returns (the returned jax
+arrays stay alive through any in-flight dispatch; HBM frees when the last
+reference drops). Uploads run OUTSIDE the manager lock (serialized per
+executor), so a multi-second host->device transfer never blocks other
+segments' dispatches; a concurrent upload pair can transiently overshoot
+the budget until both register (the budget is an LRU target, not a hard
+reservation).
 """
 
 from __future__ import annotations
@@ -46,33 +53,51 @@ class ResidencyManager:
                     total += b
             return total
 
-    def ensure(self, ex) -> None:
-        """Touch `ex` in the LRU; upload its arrays if evicted/new, evicting
-        older segments first when a budget is configured."""
+    def _touch(self, ex) -> None:
+        key = id(ex)
+        self._lru.pop(key, None)
+        self._lru[key] = (
+            weakref.ref(ex, lambda _r, k=key: self._forget(k)),
+            ex.device_bytes,
+        )
+
+    def ensure(self, ex) -> dict:
+        """Touch `ex` in the LRU and return its device-array dict,
+        uploading first if evicted/new (evicting older segments when a
+        budget is configured). Callers must read arrays from the RETURNED
+        dict — ex._dev may be evicted by another thread the moment the
+        manager lock is released."""
         from trinity_tpu.config import get_config
 
         with self._lock:
-            key = id(ex)
-            if ex._dev is None:
-                budget = get_config().hbm_budget_bytes
-                if budget:
-                    resident = self.resident_bytes()
-                    for k, (ref, b) in list(self._lru.items()):
-                        if resident + ex.device_bytes <= budget:
-                            break
-                        other = ref()
-                        if other is None or other is ex or other._dev is None:
-                            continue
-                        other._drop_device()
-                        resident -= b
-                        self.evictions += 1
+            dev = ex._dev
+            if dev is not None:
+                self._touch(ex)
+                return dev
+            budget = get_config().hbm_budget_bytes
+            if budget:
+                resident = self.resident_bytes()
+                for k, (ref, b) in list(self._lru.items()):
+                    if resident + ex.device_bytes <= budget:
+                        break
+                    other = ref()
+                    if other is None or other is ex or other._dev is None:
+                        continue
+                    other._drop_device()
+                    resident -= b
+                    self.evictions += 1
+        # upload outside the manager lock (serialized per executor): a
+        # slow host->device transfer must not block other segments
+        with ex._upload_lock:
+            dev = ex._dev
+            if dev is None:
                 ex._upload()
-                self.uploads += 1
-            self._lru.pop(key, None)
-            self._lru[key] = (
-                weakref.ref(ex, lambda _r, k=key: self._forget(k)),
-                ex.device_bytes,
-            )
+                dev = ex._dev
+                with self._lock:
+                    self.uploads += 1
+        with self._lock:
+            self._touch(ex)
+        return dev
 
 
 _MANAGER = ResidencyManager()

@@ -386,133 +386,127 @@ class SegmentIndexSession:
                     plane_parts.append(ext[1:need])
             prow_total += p_local
 
-        for lo, hi in zip(cuts[:-1], cuts[1:]):
-            parts_t, parts_d, parts_p, parts_pl = [], [], [], []
-            for path in self._spills:
-                z = np.load(path)
-                if not len(z["tid"]):
+        # the corpus-sized scratch memmaps must not outlive a failed
+        # commit (repeated failures would fill the spill dir); spills
+        # themselves are session state and only removed on success
+        try:
+            for lo, hi in zip(cuts[:-1], cuts[1:]):
+                parts_t, parts_d, parts_p, parts_pl = [], [], [], []
+                for path in self._spills:
+                    z = np.load(path)
+                    if not len(z["tid"]):
+                        continue
+                    r = rank[z["tid"]]
+                    sel = (r >= lo) & (r < hi)
+                    if not sel.any():
+                        continue
+                    parts_t.append(r[sel])
+                    parts_d.append(z["doc"][sel])
+                    parts_p.append(z["pos"][sel])
+                    if self.track_payloads:
+                        parts_pl.append(
+                            z["pay"][sel]
+                            if "pay" in z.files
+                            else np.zeros(int(sel.sum()), np.uint64)
+                        )
+                if not parts_t:
                     continue
-                r = rank[z["tid"]]
-                sel = (r >= lo) & (r < hi)
-                if not sel.any():
-                    continue
-                parts_t.append(r[sel])
-                parts_d.append(z["doc"][sel])
-                parts_p.append(z["pos"][sel])
-                if self.track_payloads:
-                    parts_pl.append(
-                        z["pay"][sel]
-                        if "pay" in z.files
-                        else np.zeros(int(sel.sum()), np.uint64)
-                    )
-            if not parts_t:
-                continue
-            tid_a = np.concatenate(parts_t)
-            doc_a = np.searchsorted(app_ids, np.concatenate(parts_d)).astype(
-                np.int64
-            )
-            pos_a = np.concatenate(parts_p)
-            perm = np.lexsort((pos_a, doc_a, tid_a))
-            tid_a, doc_a, pos_a = tid_a[perm], doc_a[perm], pos_a[perm]
-            pay_a = (
-                np.concatenate(parts_pl)[perm] if self.track_payloads else None
-            )
-            n = len(tid_a)
-
-            key = tid_a * (n_docs + 1) + doc_a
-            boundaries = np.empty(n, bool)
-            boundaries[0] = True
-            np.not_equal(key[1:], key[:-1], out=boundaries[1:])
-            p_start = np.flatnonzero(boundaries)
-            p_tid = tid_a[p_start] - lo  # partition-local term index
-            p_doc = doc_a[p_start]
-            p_freq = np.diff(np.append(p_start, n))
-            if len(p_freq) and int(p_freq.max()) >= (1 << MAX_FREQ_BITS):
-                raise ValueError("per-document term frequency must be < 2^16")
-
-            nt = hi - lo
-            df = np.bincount(p_tid, minlength=nt)
-            term_df[lo:hi] = df
-            term_sum_hits[lo:hi] = np.bincount(
-                p_tid, weights=p_freq, minlength=nt
-            ).astype(np.uint64)
-            nb = -(-df // BLOCK_SIZE)
-            term_nblocks[lo:hi] = nb
-            nbl = int(nb.sum())
-            posting_start = np.zeros(nt + 1, np.int64)
-            posting_start[:-1] = np.searchsorted(p_tid, np.arange(nt))
-            posting_start[-1] = len(p_tid)
-            p_start_global = (p_start + hit_base).astype(np.uint32)
-
-            out = (
-                native.build_blocks(
-                    posting_start,
-                    p_doc.astype(np.uint32),
-                    p_freq.astype(np.uint32),
-                    p_start_global,
-                    nbl,
+                tid_a = np.concatenate(parts_t)
+                doc_a = np.searchsorted(app_ids, np.concatenate(parts_d)).astype(
+                    np.int64
                 )
-                if nbl
-                else None
-            )
-            if out is None:
+                pos_a = np.concatenate(parts_p)
+                perm = np.lexsort((pos_a, doc_a, tid_a))
+                tid_a, doc_a, pos_a = tid_a[perm], doc_a[perm], pos_a[perm]
+                pay_a = (
+                    np.concatenate(parts_pl)[perm] if self.track_payloads else None
+                )
+                n = len(tid_a)
+
+                p_start, p_tid, p_doc, p_freq = _posting_runs(
+                    tid_a, doc_a, n_docs
+                )
+                p_tid = p_tid - lo  # partition-local term index
+
+                nt = hi - lo
+                df = np.bincount(p_tid, minlength=nt)
+                term_df[lo:hi] = df
+                term_sum_hits[lo:hi] = np.bincount(
+                    p_tid, weights=p_freq, minlength=nt
+                ).astype(np.uint64)
+                nb = -(-df // BLOCK_SIZE)
+                term_nblocks[lo:hi] = nb
+                nbl = int(nb.sum())
+                posting_start = np.zeros(nt + 1, np.int64)
+                posting_start[:-1] = np.searchsorted(p_tid, np.arange(nt))
+                posting_start[-1] = len(p_tid)
+                p_start_global = (p_start + hit_base).astype(np.uint32)
+
                 tbs = np.zeros(nt, np.int64)
                 if nt > 1:
                     tbs[1:] = np.cumsum(nb[:-1])
-                out = _build_blocks_numpy(
+                out = _encode_blocks(
                     posting_start, p_doc, p_freq, p_start_global, nt, nbl, tbs
                 )
-            (bpo, bfd, bld, bct, bbd, bbf, bho, bmf, words) = out
-            p_local = int(bbd.astype(np.int64).sum() + bbf.astype(np.int64).sum())
-            blk_parts.append(
-                (bpo.astype(np.int64) + prow_total, bfd, bld, bct, bbd, bbf, bho, bmf)
-            )
-            append_planes(words, p_local)
-            n_postings_total += len(p_tid)
-            pos_mm[hit_base : hit_base + n] = pos_a
-            if pay_mm is not None:
-                pay_mm[hit_base : hit_base + n] = pay_a
-            hit_base += n
-            if n:
-                max_pos = max(max_pos, int(pos_a.max()))
-
-        for path in self._spills:
-            os.unlink(path)
-        self._spills.clear()
-
-        term_block_start = np.zeros(n_terms, np.int64)
-        if n_terms > 1:
-            term_block_start[1:] = np.cumsum(term_nblocks[:-1])
-        if blk_parts:
-            block_arrays = [np.concatenate(x) for x in zip(*blk_parts)]
-        else:
-            block_arrays = [
-                np.zeros(0, d)
-                for d in (
-                    np.int64, np.uint32, np.uint32, np.int32,
-                    np.uint8, np.uint8, np.uint32, np.uint16,
+                (bpo, bfd, bld, bct, bbd, bbf, bho, bmf, words) = out
+                p_local = int(bbd.astype(np.int64).sum() + bbf.astype(np.int64).sum())
+                blk_parts.append(
+                    (bpo.astype(np.int64) + prow_total, bfd, bld, bct, bbd, bbf, bho, bmf)
                 )
-            ]
-        (bpo, bfd, bld, bct, bbd, bbf, bho, bmf) = block_arrays
-        planes = (
-            np.vstack(plane_parts)
-            if plane_parts
-            else np.zeros((0, BLOCK_SIZE), np.uint32)
-        )
+                append_planes(words, p_local)
+                n_postings_total += len(p_tid)
+                pos_mm[hit_base : hit_base + n] = pos_a
+                if pay_mm is not None:
+                    pay_mm[hit_base : hit_base + n] = pay_a
+                hit_base += n
+                if n:
+                    max_pos = max(max_pos, int(pos_a.max()))
 
-        pos_view = pos_mm[:total]
-        packed_pos = native.pack_value_groups(pos_view)
-        if packed_pos is None:
-            packed_pos = pack_value_groups(pos_view)
-        hit_planes, hit_group_off = packed_pos
-        payloads = (
-            np.asarray(pay_mm[:total]) if pay_mm is not None else None
-        )
-        del pos_mm
-        os.unlink(pos_path)
-        if pay_mm is not None:
-            del pay_mm
-            os.unlink(pay_path)
+            for path in self._spills:
+                os.unlink(path)
+            self._spills.clear()
+
+            term_block_start = np.zeros(n_terms, np.int64)
+            if n_terms > 1:
+                term_block_start[1:] = np.cumsum(term_nblocks[:-1])
+            if blk_parts:
+                block_arrays = [np.concatenate(x) for x in zip(*blk_parts)]
+            else:
+                block_arrays = [
+                    np.zeros(0, d)
+                    for d in (
+                        np.int64, np.uint32, np.uint32, np.int32,
+                        np.uint8, np.uint8, np.uint32, np.uint16,
+                    )
+                ]
+            (bpo, bfd, bld, bct, bbd, bbf, bho, bmf) = block_arrays
+            planes = (
+                np.vstack(plane_parts)
+                if plane_parts
+                else np.zeros((0, BLOCK_SIZE), np.uint32)
+            )
+
+            pos_view = pos_mm[:total]
+            packed_pos = native.pack_value_groups(pos_view)
+            if packed_pos is None:
+                packed_pos = pack_value_groups(pos_view)
+            hit_planes, hit_group_off = packed_pos
+            payloads = (
+                np.asarray(pay_mm[:total]) if pay_mm is not None else None
+            )
+
+        finally:
+            del pos_mm
+            try:
+                os.unlink(pos_path)
+            except OSError:
+                pass
+            if pay_mm is not None:
+                del pay_mm
+                try:
+                    os.unlink(pay_path)
+                except OSError:
+                    pass
 
         stats = FieldStatistics(
             sum_term_hits=total,
@@ -545,6 +539,55 @@ class SegmentIndexSession:
         )
 
 
+def _posting_runs(tid_a, doc_a, n_docs):
+    """Grouped (term, doc) run boundaries over lexsorted hit streams ->
+    (p_start, p_tid, p_doc, p_freq) — shared by the monolithic and
+    partitioned commits (their outputs must stay bit-identical). Raises on
+    freq >= 2^16: it would wrap the uint16 block_max_freq WAND bound to 0
+    (dropping true top-k docs in search_pruned) and overflow the device
+    verifier's fcap sizing."""
+    n = len(tid_a)
+    if not n:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    key = tid_a * (n_docs + 1) + doc_a
+    boundaries = np.empty(n, bool)
+    boundaries[0] = True
+    np.not_equal(key[1:], key[:-1], out=boundaries[1:])
+    p_start = np.flatnonzero(boundaries)
+    p_freq = np.diff(np.append(p_start, n))
+    if int(p_freq.max()) >= (1 << MAX_FREQ_BITS):
+        raise ValueError("per-document term frequency must be < 2^16")
+    return p_start, tid_a[p_start], doc_a[p_start], p_freq
+
+
+def _encode_blocks(
+    posting_start, p_doc, p_freq, hits_off, n_terms, n_blocks, term_block_start
+):
+    """Block encode: native hot loop when libtrinity_host is built (the
+    reference's encode phase is ~69% of indexing time, indexer.cpp:302-310),
+    numpy otherwise. Returns the 8 block arrays + plane words."""
+    from trinity_tpu.utils import native
+
+    out = (
+        native.build_blocks(
+            posting_start,
+            p_doc.astype(np.uint32),
+            p_freq.astype(np.uint32),
+            hits_off.astype(np.uint32),
+            n_blocks,
+        )
+        if n_blocks
+        else None
+    )
+    if out is None:
+        out = _build_blocks_numpy(
+            posting_start, p_doc, p_freq, hits_off, n_terms, n_blocks,
+            term_block_start,
+        )
+    return out
+
+
 def _build_segment(
     app_ids, sorted_terms, tid_a, doc_a, pos_a, pay_a, updated, n_docs
 ) -> SegmentData:
@@ -562,18 +605,7 @@ def _build_segment(
     total = len(tid_a)
 
     # unique (term, doc) postings and their freqs
-    if total:
-        key = tid_a * (n_docs + 1) + doc_a
-        boundaries = np.empty(total, bool)
-        boundaries[0] = True
-        np.not_equal(key[1:], key[:-1], out=boundaries[1:])
-        p_start = np.flatnonzero(boundaries)
-        p_tid = tid_a[p_start]
-        p_doc = doc_a[p_start]
-        p_freq = np.diff(np.append(p_start, total))
-    else:
-        p_tid = p_doc = p_freq = np.zeros(0, np.int64)
-        p_start = np.zeros(0, np.int64)
+    p_start, p_tid, p_doc, p_freq = _posting_runs(tid_a, doc_a, n_docs)
 
     n_postings = len(p_tid)
     term_df = np.bincount(p_tid, minlength=n_terms).astype(np.uint32)
@@ -590,11 +622,6 @@ def _build_segment(
         term_block_start[1:] = np.cumsum(term_nblocks[:-1])
     n_blocks = int(term_nblocks.sum())
 
-    if n_postings and int(p_freq.max()) >= (1 << MAX_FREQ_BITS):
-        # >= : freq == 2^16 would wrap the uint16 block_max_freq WAND bound
-        # to 0 (dropping true top-k docs in search_pruned) and overflow the
-        # device verifier's fcap sizing
-        raise ValueError("per-document term frequency must be < 2^16")
     posting_start = np.zeros(n_terms + 1, np.int64)
     posting_start[:-1] = np.searchsorted(p_tid, np.arange(n_terms))
     posting_start[-1] = n_postings
@@ -603,45 +630,20 @@ def _build_segment(
     # grouped by the lexsort); the encode hot loop runs natively when
     # libtrinity_host is built (the reference's encode phase is ~69% of
     # indexing time, indexer.cpp:302-310)
-    from trinity_tpu.utils import native
-
-    native_out = (
-        native.build_blocks(
-            posting_start,
-            p_doc.astype(np.uint32),
-            p_freq.astype(np.uint32),
-            p_start.astype(np.uint32),
-            n_blocks,
-        )
-        if n_blocks
-        else None
+    (
+        block_plane_off,
+        block_first_doc,
+        block_last_doc,
+        block_count,
+        block_bits_doc,
+        block_bits_freq,
+        block_hits_off,
+        block_max_freq,
+        planes,
+    ) = _encode_blocks(
+        posting_start, p_doc, p_freq, p_start, n_terms, n_blocks,
+        term_block_start,
     )
-    if native_out is not None:
-        (
-            block_plane_off,
-            block_first_doc,
-            block_last_doc,
-            block_count,
-            block_bits_doc,
-            block_bits_freq,
-            block_hits_off,
-            block_max_freq,
-            planes,
-        ) = native_out
-    else:
-        (
-            block_plane_off,
-            block_first_doc,
-            block_last_doc,
-            block_count,
-            block_bits_doc,
-            block_bits_freq,
-            block_hits_off,
-            block_max_freq,
-            planes,
-        ) = _build_blocks_numpy(
-            posting_start, p_doc, p_freq, p_start, n_terms, n_blocks, term_block_start
-        )
 
     from trinity_tpu.utils import native as _native
     from trinity_tpu.utils.bitpack import pack_value_groups

@@ -79,10 +79,21 @@ def pack_value_groups(values: np.ndarray):
     if H == 0:
         return np.zeros((0, BLOCK_SIZE), np.uint32), np.zeros(1, np.uint32)
     G = -(-H // BLOCK_SIZE)
-    padded = np.zeros(G * BLOCK_SIZE, np.uint64)
-    padded[:H] = values
-    P2 = padded.reshape(G, BLOCK_SIZE)
-    maxes = P2.max(axis=1).astype(np.int64)
+    CHUNK = 16384  # groups per pass: peak RAM stays O(CHUNK), so a disk
+    # memmap stream (the partitioned commit's positions scratch) packs
+    # without ever materializing the full corpus in memory
+
+    def _group_chunk(g0, g1, dtype):
+        c = np.zeros((g1 - g0) * BLOCK_SIZE, dtype)
+        v0 = g0 * BLOCK_SIZE
+        v1 = min(g1 * BLOCK_SIZE, H)
+        c[: v1 - v0] = values[v0:v1]
+        return c.reshape(g1 - g0, BLOCK_SIZE)
+
+    maxes = np.zeros(G, np.int64)
+    for g0 in range(0, G, CHUNK):
+        g1 = min(g0 + CHUNK, G)
+        maxes[g0:g1] = _group_chunk(g0, g1, np.int64).max(axis=1)
     bits = np.zeros(G, np.int64)
     nz = maxes > 0
     bits[nz] = np.floor(np.log2(maxes[nz].astype(np.float64))).astype(np.int64) + 1
@@ -96,16 +107,16 @@ def pack_value_groups(values: np.ndarray):
     out = np.zeros((R + 1, BLOCK_SIZE), np.uint32)
     # chunked pack: plane rows are group-major and contiguous, so each chunk
     # packs into a contiguous word-row range (boundary rows OR-merge)
-    CHUNK = 16384
     for g0 in range(0, G, CHUNK):
         g1 = min(g0 + CHUNK, G)
+        P2c = _group_chunk(g0, g1, np.uint64)
         cb = bits[g0:g1]
         row_g = np.repeat(np.arange(g0, g1), cb)
         co = off[g0:g1].astype(np.int64)
         row_j = (np.arange(len(row_g)) + int(off[g0]) - np.repeat(co, cb)).astype(
             np.uint64
         )
-        rows = ((P2[row_g] >> row_j[:, None]) & 1).astype(np.uint32)
+        rows = ((P2c[row_g - g0] >> row_j[:, None]) & 1).astype(np.uint32)
         pr0 = int(off[g0])
         lead = pr0 % PLANES_PER_ROW
         padded_len = -(-(lead + len(rows)) // PLANES_PER_ROW) * PLANES_PER_ROW
