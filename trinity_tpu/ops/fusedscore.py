@@ -54,6 +54,7 @@ from trinity_tpu.ops.postings import (
     USE_DBUF,
     _decode_cells_dbuf,
     _decode_cells_pipelined,
+    dbuf_step,
 )
 
 NEG_INF = float("-inf")
@@ -133,8 +134,10 @@ def eval_tape_tiles(tape, tiles, wsel, scorer_cls):
 def _qgroup(B: int, U: int, interpret: bool = False) -> int:
     """Queries decoded per grid step: larger groups amortize the per-cell
     DMA fixed cost (~3.3 us measured) across one pipelined wave of QG*U
-    copies, bounded by VMEM (QG*U plane-scratch buffers of ~127 KiB each:
-    cap QG*U <= 16, ~2 MiB + tiles). Interpret mode caps at 2 (see
+    copies, bounded by VMEM (TWO banks of QG*U plane-scratch buffers of
+    ~127 KiB each since the dbuf schedule: cap QG*U <= 16, ~4 MiB + tiles;
+    the QG=8-regressed datapoint below predates the second bank, so the
+    effective pressure at a given QG is now ~2x it). Interpret mode caps at 2 (see
     ops/postings.py:_tgroup — XLA:CPU segfaults compiling the large
     unrolled emulation)."""
     # QG=8 measured SLOWER than 4 at U=2 (13.1 vs 11.4 ms, AND B=48 —
@@ -230,11 +233,7 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
                 cells_at(w, bg), wbase, group,
             )
         else:
-            step = w * nBG + bg
-            last = step >= nW * nBG - 1
-            adv = bg + 1 < nBG
-            w2 = jnp.where(adv, w, jnp.minimum(w + 1, nW - 1))
-            bg2 = jnp.where(adv, bg + 1, 0)
+            step, last, w2, bg2 = dbuf_step(w, bg, nW, nBG)
             _decode_cells_dbuf(
                 bmeta_ref, planes_ref,
                 [tiles_s.at[ci] for ci in range(QG * U)],
@@ -280,6 +279,55 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
     return kernel
 
 
+def _call_score_kernel(
+    kernel, W, B, QG, nc, prefetch, bmeta, planes, deleted, interpret
+):
+    """Shared pallas_call wrapper for the tape and flat fused kernels:
+    identical BlockSpecs, double-banked decode scratch, and output pair —
+    only the kernel body and the scalar-prefetch operands differ (the flat
+    kernel adds flags/kmin). nc = decoded cells per grid step."""
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if deleted is not None:
+        in_specs.append(
+            pl.BlockSpec((1, TILE, TILE), lambda w, b, *_: (w, 0, 0))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(prefetch),
+        grid=(W, B // QG),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((QG, 1, TILE, TILE), lambda w, b, *_: (b, w, 0, 0)),
+            pl.BlockSpec((QG, 1, NSUB, TILE), lambda w, b, *_: (b, w, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nc, TILE, TILE), jnp.float32),
+            # two banks: the double-buffered decode prefetches the next
+            # grid step's meta+plane DMAs while this step computes
+            pltpu.SMEM(
+                (2, nc, META_ROWS, META_PER_ROW * META_COLS),
+                jnp.int32,
+            ),
+            pltpu.VMEM((2, nc, ROWS_FIXED, TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2 * nc)),
+        ],
+    )
+    args = list(prefetch) + [bmeta, planes]
+    if deleted is not None:
+        args.append(deleted)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W, TILE, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((B, W, NSUB, TILE), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -311,49 +359,13 @@ def fused_score_tiles(
     kernel = _make_score_kernel(
         tape, used, scorer_name, T, group, deleted is not None, QG, B // QG
     )
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    if deleted is not None:
-        in_specs.append(
-            pl.BlockSpec((1, TILE, TILE), lambda w, b, *_: (w, 0, 0))
-        )
-    nc = max(1, QG * len(used))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(W, B // QG),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((QG, 1, TILE, TILE), lambda w, b, *_: (b, w, 0, 0)),
-            pl.BlockSpec((QG, 1, NSUB, TILE), lambda w, b, *_: (b, w, 0, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((nc, TILE, TILE), jnp.float32),
-            # two banks: the double-buffered decode prefetches the next
-            # grid step's meta+plane DMAs while this step computes
-            pltpu.SMEM(
-                (2, nc, META_ROWS, META_PER_ROW * META_COLS),
-                jnp.int32,
-            ),
-            pltpu.VMEM((2, nc, ROWS_FIXED, TILE), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2, 2 * nc)),
-        ],
-    )
     wbase = jnp.arange(W, dtype=jnp.int32)
     nd = jnp.asarray(n_docs, jnp.int32).reshape(1)
-    args = [cell_start, cell_nblocks, wbase, nd, weights, bmeta, planes]
-    if deleted is not None:
-        args.append(deleted)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, W, TILE, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((B, W, NSUB, TILE), jnp.float32),
-        ),
-        interpret=interpret,
-    )(*args)
+    return _call_score_kernel(
+        kernel, W, B, QG, max(1, QG * len(used)),
+        (cell_start, cell_nblocks, wbase, nd, weights),
+        bmeta, planes, deleted, interpret,
+    )
 
 
 @functools.partial(
@@ -391,51 +403,14 @@ def fused_flat_score_tiles(
         None, used, scorer_name, T, group, deleted is not None, QG,
         B // QG, flat=True,
     )
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    if deleted is not None:
-        in_specs.append(
-            pl.BlockSpec((1, TILE, TILE), lambda w, b, *_: (w, 0, 0))
-        )
-    nc = max(1, QG * T)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=(W, B // QG),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((QG, 1, TILE, TILE), lambda w, b, *_: (b, w, 0, 0)),
-            pl.BlockSpec((QG, 1, NSUB, TILE), lambda w, b, *_: (b, w, 0, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((nc, TILE, TILE), jnp.float32),
-            pltpu.SMEM(
-                (2, nc, META_ROWS, META_PER_ROW * META_COLS),
-                jnp.int32,
-            ),
-            pltpu.VMEM((2, nc, ROWS_FIXED, TILE), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2, 2 * nc)),
-        ],
-    )
     wbase = jnp.arange(W, dtype=jnp.int32)
     nd = jnp.asarray(n_docs, jnp.int32).reshape(1)
-    args = [
-        cell_start, cell_nblocks, wbase, nd, weights,
-        jnp.asarray(flags, jnp.int32), jnp.asarray(kmin, jnp.int32),
-        bmeta, planes,
-    ]
-    if deleted is not None:
-        args.append(deleted)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, W, TILE, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((B, W, NSUB, TILE), jnp.float32),
-        ),
-        interpret=interpret,
-    )(*args)
+    return _call_score_kernel(
+        kernel, W, B, QG, max(1, QG * T),
+        (cell_start, cell_nblocks, wbase, nd, weights,
+         jnp.asarray(flags, jnp.int32), jnp.asarray(kmin, jnp.int32)),
+        bmeta, planes, deleted, interpret,
+    )
 
 
 def exact_window_topk(scores, rmax, k, sel_blocks=16):

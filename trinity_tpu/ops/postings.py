@@ -40,9 +40,25 @@ import os
 from trinity_tpu.limits import TILE, WINDOW_SIZE
 
 # cross-grid-step DMA double buffering (see _decode_cells_dbuf). The env
-# toggle exists for A/B kernel profiling in one process (tools/ab_dbuf.py);
-# production always runs the double-buffered path.
+# toggle exists for A/B kernel profiling — read at IMPORT time, so each
+# variant needs its own process (tools/ab_dbuf.py runs a subprocess per
+# variant); production always runs the double-buffered path.
 USE_DBUF = os.environ.get("TRINITY_DBUF", "1") != "0"
+
+
+def dbuf_step(outer, inner, n_outer, n_inner):
+    """Linear step index + next-step coordinates for the double-buffered
+    decode. Encodes the grid-linearization contract (last grid dim minor)
+    shared by both fused kernels: the (outer2, inner2) returned here MUST
+    equal the next grid step's own (outer, inner), or the banks' DMA
+    issue/wait descriptors diverge — a fault class that wedges the TPU
+    worker (CLAUDE.md)."""
+    step = outer * n_inner + inner
+    last = step >= n_outer * n_inner - 1
+    adv = inner + 1 < n_inner
+    outer2 = jnp.where(adv, outer, jnp.minimum(outer + 1, n_outer - 1))
+    inner2 = jnp.where(adv, inner + 1, 0)
+    return step, last, outer2, inner2
 
 # Hard bounds for one (window, term) cell. A window holds 16384 docids, so at
 # most 128 full blocks + boundary partials can overlap it (middle blocks are
@@ -135,11 +151,7 @@ def _make_kernel(with_offsets: bool, group: int = GROUP, TG: int = 1,
                 cells_at(w, tg), wbase, group, off_refs=off_refs,
             )
             return
-        step = w * nTG + tg
-        last = step >= nW * nTG - 1
-        adv = tg + 1 < nTG
-        w2 = jnp.where(adv, w, jnp.minimum(w + 1, nW - 1))
-        tg2 = jnp.where(adv, tg + 1, 0)
+        step, last, w2, tg2 = dbuf_step(w, tg, nW, nTG)
         _decode_cells_dbuf(
             bmeta_ref, planes_ref,
             [out_ref.at[0, i] for i in range(TG)],
@@ -275,6 +287,8 @@ def _decode_cells_dbuf(
     (same scalar-prefetch reads), so DMA descriptors match at issue/wait.
     """
     U = len(cur_cells)
+    if U == 0:  # a no-slot tape (e.g. const-false) decodes nothing
+        return
     p = jax.lax.rem(step, 2)
     q = 1 - p
 

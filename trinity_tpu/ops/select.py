@@ -31,7 +31,8 @@ import os
 import numpy as np
 
 # Row-gather + lane-extract for all (B, n)-domain column gathers (see
-# gather_cols). Toggle exists for one-process A/B profiling only
+# gather_cols). The toggle is read at IMPORT time (builder lru + jit trace
+# caches don't key it), so A/B profiling needs a subprocess per variant
 # (tools/ab_gather.py); production always runs the row-gather path.
 USE_ROWGATHER = os.environ.get("TRINITY_ROWGATHER", "1") != "0"
 
@@ -125,8 +126,12 @@ def gather_cols(arr, ki):
     lane = (ki % LBLK)[..., None] == jnp.arange(LBLK, dtype=jnp.int32)
     if arr.dtype == jnp.bool_:
         return jnp.any(rows & lane, axis=-1)
+    # dtype pinned: jnp.sum would promote sub-32-bit ints, breaking the
+    # "returns arr.dtype" contract and A/B identity with take_along_axis
+    # (exact: exactly one nonzero lane per output element)
     return jnp.sum(
-        jnp.where(lane, rows, jnp.zeros((), arr.dtype)), axis=-1
+        jnp.where(lane, rows, jnp.zeros((), arr.dtype)), axis=-1,
+        dtype=arr.dtype,
     )
 
 
