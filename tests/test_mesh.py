@@ -213,3 +213,27 @@ def test_mesh_sources_collection_config5():
     for qtext, rb in zip(qs, bb):
         ra = meshc.search(qtext, k=10)
         assert [r.doc_id for r in rb] == [r.doc_id for r in ra], qtext
+
+
+def test_mesh_host_fallback_paths(sharded):
+    """_shard_executors-backed fallbacks (phrase host fallback, and the
+    densify path for unresolved lazy candidates) must work and agree with
+    the single-chip executor (regression: per-shard executors assigned to
+    the residency-managed read-only device properties and crashed)."""
+    from trinity_tpu.query.parser import parse_query
+
+    _, ex, mex = sharded
+    for qtext in ['"t0 t1"', '"t1 t2" OR t7']:
+        root = parse_query(qtext).root
+        want = [(r.doc_id, r.score) for r in ex.search(qtext, k=10)]
+        got = [
+            (r.doc_id, r.score)
+            for r in mex._phrase_host_fallback(root, 10, "bm25")
+        ]
+        assert got == want, qtext
+    # densify one shard directly: scores must match that shard's docs
+    root = parse_query('"t0 t1"').root
+    fv, fi = mex._densify_shard(0, root, 10, "bm25", None, None)
+    assert len(fv) == len(fi)
+    base = int(mex._base_np[0])
+    assert all(base <= i < base + mex.shards[0].n_docs for i in fi)

@@ -650,32 +650,18 @@ class MeshExecutor:
         return self._hits_dummy
 
     def _shard_executors(self):
-        """Lazy per-shard Executors sharing the mesh's device arrays (no
-        re-upload): used by paths that need host round-trips mid-query
-        (phrase verification)."""
+        """Lazy per-shard Executors for paths that need host round-trips
+        mid-query (phrase host fallback, unresolved-lazy densify). Full
+        constructors: their device arrays upload lazily under the
+        residency manager on first fallback use (the mesh's own stacked
+        arrays are device-sharded rows and can't serve single-device
+        programs), so a workload that never falls back pays nothing."""
         if getattr(self, "_executors", None) is None:
             from trinity_tpu.exec.executor import Executor
 
-            import jax.numpy as jnp
-
-            exes = []
-            for i, s in enumerate(self.shards):
-                ex = Executor.__new__(Executor)
-                ex.seg = s
-                ex.interpret = self.interpret
-                ex.bmeta = self.bmeta[i]
-                ex.planes = self.planes[i]
-                hp = np.ascontiguousarray(s.hit_planes, dtype=np.uint32)
-                ex.hit_pw = jnp.asarray(
-                    np.vstack([hp, np.zeros((1, 128), np.uint32)])
-                )
-                ex.hit_off = jnp.asarray(s.hit_group_off.astype(np.int32))
-                ex._max_freq_cache = {}
-                ex._deleted = None
-                ex._deleted_np = None
-                ex._deleted_tiles = None
-                exes.append(ex)
-            self._executors = exes
+            self._executors = [
+                Executor(s, interpret=self.interpret) for s in self.shards
+            ]
         return self._executors
 
     # ---------------------------------------------------------------- stats
