@@ -237,3 +237,37 @@ def test_mesh_host_fallback_paths(sharded):
     assert len(fv) == len(fi)
     base = int(mex._base_np[0])
     assert all(base <= i < base + mex.shards[0].n_docs for i in fi)
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    ["t0 t1", "t3 OR t9 OR t21", "t0 NOT t1", "[t0,t3,t9]", "t1 OR t250"],
+)
+def test_mesh_pruned_exact(sharded, qtext):
+    """Pruning composed with the mesh (thread-per-shard WAND fan-out,
+    exec.h:86-177): results identical to the unsharded dense search."""
+    _, ex, mex = sharded
+    want = [(r.doc_id, r.score) for r in ex.search(qtext, k=10)]
+    got = [
+        (r.doc_id, r.score)
+        for r in mex.search_pruned(qtext, k=10, chunk_windows=2)
+    ]
+    assert got == want, qtext
+
+
+def test_mesh_pruned_under_deletion_masks(sharded):
+    """Per-shard masks reach the shard executors' pruned loops."""
+    seg, ex, _ = sharded
+    mex = MeshExecutor(seg, n_shards=8)
+    dense = ex.search("t0 OR t3", k=30)
+    kill = {r.doc_id for r in dense[:4]}
+    local = np.flatnonzero(np.isin(seg.doc_map, list(kill)))
+    mex.set_masked_local_docs(local)
+    ex2 = Executor(seg)
+    ex2.set_masked_local_docs(local)
+    want = [(r.doc_id, r.score) for r in ex2.search("t0 OR t3", k=10)]
+    got = [
+        (r.doc_id, r.score)
+        for r in mex.search_pruned("t0 OR t3", k=10, chunk_windows=2)
+    ]
+    assert got == want and not (kill & {d for d, _ in got})

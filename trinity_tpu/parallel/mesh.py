@@ -918,6 +918,52 @@ class MeshExecutor:
             [query], k=k, scorer=scorer, stats=stats, df_of=df_of
         )[0]
 
+    # -------------------------------------------------------- pruned search
+    def search_pruned(self, query, k: int = 10, scorer: str = "bm25",
+                      chunk_windows: int = 16, stats=None, df_of=None):
+        return self.search_pruned_batch(
+            [query], k, scorer, chunk_windows, stats, df_of
+        )[0]
+
+    def search_pruned_batch(self, queries, k: int = 10, scorer: str = "bm25",
+                            chunk_windows: int = 16, stats=None, df_of=None):
+        """Block-max pruned top-k over the mesh: each shard runs its own
+        host-driven pruning loop (bounds, early resolve, chunked gathers)
+        concurrently on a thread pool — the reference's thread-per-source
+        fan-out (exec.h:86-177) composed with the WAND analog; device ops
+        release the GIL, so shard loops overlap. Collection-level stats/df
+        default to the mesh aggregates, so scores are exactly the
+        unsharded executor's; the per-query merge keeps (score desc, app
+        docid asc). Pruned program variants are geometry-keyed
+        (chunk, T, B), so all shards share the same compiled programs."""
+        import concurrent.futures as cf
+
+        stats = stats or _StatsProxy(self.docs_cnt)
+        df = df_of if df_of is not None else self.doc_freq
+        execs = self._shard_executors()
+        for sh, src in enumerate(execs):
+            masked = (
+                np.flatnonzero(self._deleted_np[sh])
+                if self._deleted_np is not None
+                else None
+            )
+            src.set_masked_local_docs(masked)
+        with cf.ThreadPoolExecutor(max_workers=min(8, len(execs))) as pool:
+            per_shard = list(
+                pool.map(
+                    lambda src: src.search_pruned_batch(
+                        queries, k, scorer, chunk_windows, stats, df
+                    ),
+                    execs,
+                )
+            )
+        out = []
+        for qi in range(len(queries)):
+            merged = [r for res in per_shard for r in res[qi]]
+            merged.sort(key=lambda r: (-r.score, r.doc_id))
+            out.append(merged[:k])
+        return out
+
     # ---------------------------------------------------- batched execution
     def _group_cells(self, members, T, B):
         """Per-shard cell tables for a tape-shape group: (S, W, B*T)."""
