@@ -358,3 +358,16 @@ def test_collection_search_batch_parity():
     for hits in coll.search_batch(["t1 OR zz"], k=50):
         ids = [h.doc_id for h in hits]
         assert len(ids) == len(set(ids)), "duplicate doc across generations"
+
+
+def test_collection_pruned_matches_batch():
+    """Pruned search composes with generation masking: per-source WAND
+    loops under collection-aggregated stats == search_batch exactly."""
+    c = build_collection()
+    qs = ["apple", "apple pro", "apple OR galaxy"]
+    want = c.search_batch(qs, k=10)
+    got = c.search_pruned_batch(qs, k=10, chunk_windows=2)
+    for q, a, b in zip(qs, got, want):
+        assert [(r.doc_id, r.score) for r in a] == [
+            (r.doc_id, r.score) for r in b
+        ], q

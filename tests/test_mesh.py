@@ -271,3 +271,34 @@ def test_mesh_pruned_under_deletion_masks(sharded):
         for r in mex.search_pruned("t0 OR t3", k=10, chunk_windows=2)
     ]
     assert got == want and not (kill & {d for d, _ in got})
+
+
+def test_mesh_collection_pruned_matches_batch():
+    from trinity_tpu.index.builder import SegmentIndexSession
+    from trinity_tpu.parallel import MeshSourcesCollection
+
+    def mk(docs):
+        s = SegmentIndexSession()
+        for d, text in docs.items():
+            p = s.begin(d)
+            for i, t in enumerate(text.split(), start=1):
+                p.insert(t, i)
+            s.insert(p)
+        return s.commit()
+
+    c = MeshSourcesCollection(n_shards=8)
+    c.add_segment(mk({i: f"a{i % 5} b{i % 3}" for i in range(1, 400)}), 100)
+    g2 = SegmentIndexSession()
+    p = g2.begin(1)
+    for i, t in enumerate("a0 b0 fresh".split(), start=1):
+        p.insert(t, i)
+    g2.update(p)
+    c.add_segment(g2.commit(), 200)
+    c.commit()
+    qs = ["a0 b0", "a1 OR b2"]
+    want = c.search_batch(qs, k=10)
+    got = c.search_pruned_batch(qs, k=10, chunk_windows=2)
+    for q, a, b in zip(qs, got, want):
+        assert [(r.doc_id, r.score) for r in a] == [
+            (r.doc_id, r.score) for r in b
+        ], q

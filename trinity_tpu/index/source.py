@@ -151,6 +151,32 @@ class IndexSourcesCollection:
             out.append(merged[:k])
         return out
 
+    def search_pruned(self, query, k: int = 10, scorer: str = "bm25",
+                      chunk_windows: int = 16):
+        return self.search_pruned_batch([query], k, scorer, chunk_windows)[0]
+
+    def search_pruned_batch(self, queries, k: int = 10,
+                            scorer: str = "bm25", chunk_windows: int = 16):
+        """Block-max pruned search across generations: per-source pruned
+        loops with collection-aggregated stats (scores identical to
+        search_batch), deterministic merge."""
+        if not self._committed:
+            self.commit()
+        stats = self.aggregated_stats()
+        per_source = [
+            src.executor().search_pruned_batch(
+                queries, k, scorer, chunk_windows, stats, self.doc_freq
+            )
+            for src in self.sources
+            if not src.index_empty()
+        ]
+        out = []
+        for qi in range(len(queries)):
+            merged = [r for res in per_source for r in res[qi]]
+            merged.sort(key=lambda r: (-r.score, r.doc_id))
+            out.append(merged[:k])
+        return out
+
     def match_ids(self, query) -> np.ndarray:
         if not self._committed:
             self.commit()

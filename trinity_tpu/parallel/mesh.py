@@ -1351,6 +1351,31 @@ class MeshSourcesCollection:
             out.append(allr[:k])
         return out
 
+    def search_pruned(self, query, k: int = 10, scorer: str = "bm25",
+                      chunk_windows: int = 16):
+        return self.search_pruned_batch([query], k, scorer, chunk_windows)[0]
+
+    def search_pruned_batch(self, queries, k: int = 10,
+                            scorer: str = "bm25", chunk_windows: int = 16):
+        """Pruned search over all generations: each source's
+        thread-per-shard WAND fan-out runs with collection-aggregated
+        stats, results merge per query — exact vs search_batch."""
+        if not self._committed:
+            self.commit()
+        stats = _StatsProxy(self.docs_cnt)
+        per_source = [
+            mex.search_pruned_batch(
+                queries, k, scorer, chunk_windows, stats, self.doc_freq
+            )
+            for _, mex, _ in self.sources
+        ]
+        out = []
+        for qi in range(len(queries)):
+            allr = [r for rs in per_source for r in rs[qi]]
+            allr.sort(key=lambda r: (-r.score, r.doc_id))
+            out.append(allr[:k])
+        return out
+
     def warmup(self, queries, k: int = 10, scorer: str = "bm25",
                batch: bool = True, threads: int = 8) -> dict:
         """Compile all sources' program variants for the workload
