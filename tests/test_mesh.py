@@ -302,3 +302,24 @@ def test_mesh_collection_pruned_matches_batch():
         assert [(r.doc_id, r.score) for r in a] == [
             (r.doc_id, r.score) for r in b
         ], q
+
+
+def test_mesh_match_ids_and_rich(sharded):
+    """DocumentsOnly and rich-match modes over the mesh == single chip
+    (per-shard fan-out, caller merge — exec.h:86-177)."""
+    from trinity_tpu.exec.richmatch import exec_rich
+
+    seg, ex, mex = sharded
+    np.testing.assert_array_equal(mex.match_ids("t0 t1"), ex.match_ids("t0 t1"))
+    got, want = [], []
+    n_g = mex.exec_rich("t0 t1", lambda m: got.append((m.doc_id, len(m.matched_terms))))
+    n_w = exec_rich(ex, "t0 t1", lambda m: want.append((m.doc_id, len(m.matched_terms))))
+    assert n_g == n_w and got == want
+    # masks flow into the per-shard executors on access
+    kill = ex.match_ids("t0 t1")[:3]
+    local = np.flatnonzero(np.isin(seg.doc_map, kill))
+    mex.set_masked_local_docs(local)
+    try:
+        assert not set(kill) & set(mex.match_ids("t0 t1"))
+    finally:
+        mex.set_masked_local_docs(None)

@@ -662,6 +662,14 @@ class MeshExecutor:
             self._executors = [
                 Executor(s, interpret=self.interpret) for s in self.shards
             ]
+        # sync the current deletion masks on every access (one source of
+        # truth: the mesh's stacked per-shard mask)
+        for sh, src in enumerate(self._executors):
+            src.set_masked_local_docs(
+                np.flatnonzero(self._deleted_np[sh])
+                if self._deleted_np is not None
+                else None
+            )
         return self._executors
 
     # ---------------------------------------------------------------- stats
@@ -870,10 +878,6 @@ class MeshExecutor:
         phrase program reported unresolved there). Returns (scores f32,
         GLOBAL local docids i64) ready for the cross-shard merge."""
         src = self._shard_executors()[sh]
-        masked = None
-        if self._deleted_np is not None:
-            masked = np.flatnonzero(self._deleted_np[sh])
-        src.set_masked_local_docs(masked)
         r = src.search(
             root, k=k, scorer=scorer,
             stats=stats or _StatsProxy(self.docs_cnt),
@@ -896,11 +900,6 @@ class MeshExecutor:
         stats = stats or _StatsProxy(self.docs_cnt)
         df_of = df_of if df_of is not None else self.doc_freq
         execs = self._shard_executors()
-        for sh, src in enumerate(execs):
-            masked = None
-            if self._deleted_np is not None:
-                masked = np.flatnonzero(self._deleted_np[sh])
-            src.set_masked_local_docs(masked)
         results = []
         for src in execs:
             results.extend(
@@ -941,13 +940,6 @@ class MeshExecutor:
         stats = stats or _StatsProxy(self.docs_cnt)
         df = df_of if df_of is not None else self.doc_freq
         execs = self._shard_executors()
-        for sh, src in enumerate(execs):
-            masked = (
-                np.flatnonzero(self._deleted_np[sh])
-                if self._deleted_np is not None
-                else None
-            )
-            src.set_masked_local_docs(masked)
         with cf.ThreadPoolExecutor(max_workers=min(8, len(execs))) as pool:
             per_shard = list(
                 pool.map(
@@ -963,6 +955,38 @@ class MeshExecutor:
             merged.sort(key=lambda r: (-r.score, r.doc_id))
             out.append(merged[:k])
         return out
+
+    # ------------------------------------------------------- other exec modes
+    def match_ids(self, query) -> np.ndarray:
+        """DocumentsOnly mode over the mesh (ExecFlags, exec.h:11-43):
+        per-shard match_ids on the shard executors — the thread-per-source
+        fan-out with caller-side merge (exec.h:86-177); returns ascending
+        app doc ids."""
+        import concurrent.futures as cf
+
+        execs = self._shard_executors()
+        with cf.ThreadPoolExecutor(max_workers=min(8, len(execs))) as pool:
+            parts = [p for p in pool.map(lambda s: s.match_ids(query), execs)
+                     if len(p)]
+        return (
+            np.unique(np.concatenate(parts)) if parts
+            else np.zeros(0, np.uint32)
+        )
+
+    def exec_rich(self, query, on_match, **kwargs) -> int:
+        """Default (rich-match) mode over the mesh: per-shard exec_rich in
+        shard order — shards are ascending app-id ranges, so on_match sees
+        globally ascending doc order, exactly like the single-chip driver;
+        AbortSearch from the callback stops the remaining shards (the
+        multi-source contract leaves per-source filters to the caller,
+        exec.h:55-62 — pass a fresh callback per search if you need
+        per-source isolation). Returns total matches delivered."""
+        from trinity_tpu.exec.richmatch import exec_rich as _exec_rich
+
+        total = 0
+        for src in self._shard_executors():
+            total += _exec_rich(src, query, on_match, **kwargs)
+        return total
 
     # ---------------------------------------------------- batched execution
     def _group_cells(self, members, T, B):
