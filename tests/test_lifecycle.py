@@ -371,3 +371,15 @@ def test_collection_pruned_matches_batch():
         assert [(r.doc_id, r.score) for r in a] == [
             (r.doc_id, r.score) for r in b
         ], q
+
+
+def test_collection_exec_rich_masks():
+    """Rich-match across generations respects the masked registries and
+    totals match match_ids (per-source callback order, exec.h:55-62)."""
+    from trinity_tpu.index.source import IndexSourcesCollection  # noqa
+
+    c = build_collection()
+    seen = []
+    n = c.exec_rich("apple", lambda m: seen.append(m.doc_id))
+    assert n == len(seen) == 4
+    assert sorted(seen) == [1, 3, 4, 10]  # doc 4 = gen2 version, 2 erased

@@ -323,3 +323,28 @@ def test_mesh_match_ids_and_rich(sharded):
         assert not set(kill) & set(mex.match_ids("t0 t1"))
     finally:
         mex.set_masked_local_docs(None)
+
+
+def test_mesh_collection_exec_modes():
+    from trinity_tpu.index.builder import SegmentIndexSession
+    from trinity_tpu.parallel import MeshSourcesCollection
+
+    def mk(docs):
+        s = SegmentIndexSession()
+        for d, text in docs.items():
+            p = s.begin(d)
+            for i, t in enumerate(text.split(), start=1):
+                p.insert(t, i)
+            s.insert(p)
+        return s
+
+    c = MeshSourcesCollection(n_shards=8)
+    c.add_segment(mk({1: "a b", 2: "a c", 3: "b c"}).commit(), 100)
+    g2 = mk({4: "a d"})
+    g2.erase(2)
+    c.add_segment(g2.commit(), 200)
+    c.commit()
+    assert list(c.match_ids("a")) == [1, 4]  # 2 erased by gen 200
+    seen = []
+    n = c.exec_rich("a", lambda m: seen.append(m.doc_id))
+    assert n == 2 and sorted(seen) == [1, 4]

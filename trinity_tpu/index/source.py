@@ -183,6 +183,22 @@ class IndexSourcesCollection:
         out = [src.executor().match_ids(query) for src in self.sources]
         return np.unique(np.concatenate(out)) if out else np.zeros(0, np.uint32)
 
+    def exec_rich(self, query, on_match, **kwargs) -> int:
+        """Default rich-match mode across generations: per-source
+        exec_rich under the installed masked registries (newest source
+        first). Callback order is ascending per source; cross-source
+        merging is the caller's concern, exactly the reference's
+        multi-source contract (exec.h:55-62). Returns total matches."""
+        from trinity_tpu.exec.richmatch import exec_rich as _exec_rich
+
+        if not self._committed:
+            self.commit()
+        total = 0
+        for src in self.sources:
+            if not src.index_empty():
+                total += _exec_rich(src.executor(), query, on_match, **kwargs)
+        return total
+
     # ------------------------------------------------------------ persist
     def persist(self, root: str) -> None:
         """One directory per generation (segment_index_source.cpp:16-22)."""

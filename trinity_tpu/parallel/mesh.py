@@ -1375,6 +1375,24 @@ class MeshSourcesCollection:
             out.append(allr[:k])
         return out
 
+    def match_ids(self, query) -> np.ndarray:
+        """DocumentsOnly mode across sharded generations."""
+        if not self._committed:
+            self.commit()
+        out = [mex.match_ids(query) for _, mex, _ in self.sources]
+        out = [p for p in out if len(p)]
+        return np.unique(np.concatenate(out)) if out else np.zeros(0, np.uint32)
+
+    def exec_rich(self, query, on_match, **kwargs) -> int:
+        """Rich-match mode across sharded generations (per-source order;
+        cross-source merge is the caller's, exec.h:55-62)."""
+        if not self._committed:
+            self.commit()
+        return sum(
+            mex.exec_rich(query, on_match, **kwargs)
+            for _, mex, _ in self.sources
+        )
+
     def search_pruned(self, query, k: int = 10, scorer: str = "bm25",
                       chunk_windows: int = 16):
         return self.search_pruned_batch([query], k, scorer, chunk_windows)[0]
