@@ -31,6 +31,38 @@ import threading
 _lock = threading.Lock()
 _source_digest_cache = None
 
+# ---------------------------------------------------------------- sealing
+# The reference serves any query shape with zero compile cost
+# (exec.cpp:662-666). Here that property is recovered by warmup: a serving
+# process warms every program variant its workload can touch, then SEALS
+# the variant set. After seal_programs(), any _AotJit dispatch whose
+# (key, avals) was never seen in this process counts the
+# "aot.post_seal_miss" metric — proof the serving loop compiled (or
+# first-executed) a program warmup missed (one missed variant has been
+# observed as a 14 s p99 outlier). strict=True raises instead, naming the
+# variant, so CI can assert warmup coverage is complete.
+_seal = {"sealed": False, "strict": False}
+
+
+def seal_programs(strict: bool = False) -> None:
+    """Declare the program-variant set complete (call after warmup)."""
+    _seal["sealed"] = True
+    _seal["strict"] = strict or bool(
+        os.environ.get("TRINITY_STRICT_WARM", "")
+    )
+
+
+def unseal_programs() -> None:
+    _seal["sealed"] = False
+    _seal["strict"] = False
+
+
+def post_seal_misses() -> int:
+    from trinity_tpu.utils.metrics import get_metrics
+
+    snap = get_metrics().snapshot().get("aot.post_seal_miss")
+    return 0 if snap is None else int(snap["value"])
+
 
 def _source_digest() -> str:
     """Digest of every trinity_tpu source file: executables compiled from
@@ -97,6 +129,7 @@ class _AotJit:
         self._jit = jax.jit(fn)
         self._key_parts = key_parts
         self._loaded: dict = {}
+        self._seen: set = set()
         self._locks: dict = {}
         self._locks_guard = threading.Lock()
 
@@ -104,16 +137,39 @@ class _AotJit:
     def lower(self, *args):
         return self._jit.lower(*args)
 
+    def _check_seal(self, ak):
+        """Warmup-coverage accounting: first dispatch of a (key, avals)
+        variant after seal_programs() is a coverage hole — the program
+        compiles (or, on the axon backend, pays its lazy server-side
+        first-execution) INSIDE the serving loop."""
+        if ak in self._seen:
+            return
+        if _seal["sealed"]:
+            from trinity_tpu.utils.metrics import get_metrics
+
+            get_metrics().count("aot.post_seal_miss")
+            if _seal["strict"]:
+                raise RuntimeError(
+                    "post-seal program variant (warmup coverage hole): "
+                    f"key={self._key_parts} avals={ak}"
+                )
+        self._seen.add(ak)
+
     def __call__(self, *args):
         from trinity_tpu.config import get_config
 
+        if _under_trace(args):
+            # being INLINED into an enclosing program (builders nest: the
+            # combined batch program calls the per-group builders on
+            # tracers) — not a device dispatch; the enclosing program owns
+            # the compile
+            return self._jit(*args)
         cache_dir = get_config().aot_cache_dir
-        if not cache_dir or _under_trace(args):
-            # no cache, or we're being INLINED into an enclosing program
-            # (builders nest: the combined batch program calls the per-group
-            # builders on tracers) — plain jit handles both
+        if not cache_dir:
+            self._check_seal(_aval_key(args))
             return self._jit(*args)
         ak = _aval_key(args)
+        self._check_seal(ak)
         comp = self._loaded.get(ak)
         if comp is None:
             # per-variant compile lock: warmup drives the whole workload on
