@@ -320,3 +320,48 @@ def test_spill_partitioned_payloads_updates(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(a.positions), np.asarray(b.positions)
     )
+
+
+def test_bulk_index_ids_bit_identical(tmp_path):
+    """bulk_index_ids (vectorized integer-stream ingestion) must commit a
+    segment byte-identical to the equivalent bulk_index call."""
+    import hashlib
+    import os
+
+    from trinity_tpu.index.builder import SegmentIndexSession
+
+    rng = np.random.default_rng(5)
+    V = 50
+    names = [f"t{i}" for i in range(V)]
+    lengths = rng.integers(1, 15, size=150)
+    bounds = np.zeros(151, np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    toks = rng.integers(0, V, size=int(bounds[-1]))
+
+    s1 = SegmentIndexSession()
+    docs = [
+        [names[t] for t in toks[bounds[d] : bounds[d + 1]]] for d in range(150)
+    ]
+    s1.bulk_index(range(150), docs)
+    s2 = SegmentIndexSession()
+    s2.bulk_index_ids(np.arange(150), toks, bounds, names)
+
+    def dig(seg, sub):
+        d = tmp_path / sub
+        seg.persist(str(d))
+        h = hashlib.sha256()
+        for fn in sorted(os.listdir(d)):
+            h.update(fn.encode())
+            h.update((d / fn).read_bytes())
+        return h.hexdigest()
+
+    assert dig(s1.commit(), "a") == dig(s2.commit(), "b")
+
+
+def test_bulk_index_ids_duplicate_guard():
+    from trinity_tpu.index.builder import SegmentIndexSession
+
+    s = SegmentIndexSession()
+    s.bulk_index_ids([1], [0, 1], [0, 2], ["a", "b"])
+    with pytest.raises(ValueError, match="committed twice"):
+        s.bulk_index_ids([1], [0], [0, 1], ["a"])

@@ -109,6 +109,36 @@ def test_payload_materialization():
     assert got[0].term("beta").hits[0].payload == 42
 
 
+def test_payload_len_bytes_roundtrip(tmp_path):
+    """payloadLen round-trips: the app writes a payload BYTE SPAN per hit
+    (codecs.h:176-200 Encoder payload span) and reads back term_hit
+    {payload, payloadLen} (runtime.h:8-20) — including through
+    persist/load."""
+    from trinity_tpu.index.format import SegmentData
+
+    sess = SegmentIndexSession(track_payloads=True)
+    p = sess.begin(3)
+    p.insert("alpha", 1, payload=b"\x01\x02")          # 2 meaningful bytes
+    p.insert("alpha", 2, payload=0xBEEF, payload_len=3)  # explicit len
+    p.insert("alpha", 3, payload=7)                    # int default: 8
+    p.insert("beta", 4, payload=b"")                   # empty span: len 0
+    sess.insert(p)
+    d = tmp_path / "seg"
+    sess.commit().persist(str(d))
+    ex = Executor(SegmentData.load(str(d)))
+    got = []
+    exec_rich(ex, "alpha beta", got.append)
+    assert len(got) == 1
+    hits = got[0].term("alpha").hits
+    assert [(h.payload, h.payload_len) for h in hits] == [
+        (0x0201, 2), (0xBEEF, 3), (7, 8)
+    ]
+    assert hits[0].payload_bytes() == b"\x01\x02"
+    assert hits[1].payload_bytes() == b"\xef\xbe\x00"
+    bh = got[0].term("beta").hits[0]
+    assert (bh.payload, bh.payload_len, bh.payload_bytes()) == (0, 0, b"")
+
+
 def test_proximity_metadata_scoring():
     """Score by term adjacency using ONLY callback data (the reference's
     headline rich-match use case, exec.cpp:694-873 + matches.h:17-32):

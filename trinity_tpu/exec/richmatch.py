@@ -34,10 +34,16 @@ class AbortSearch(Exception):
 
 @dataclass
 class TermHit:
-    """runtime.h:8-20 term_hit."""
+    """runtime.h:8-20 term_hit: payload value + how many of its 8 bytes
+    the application wrote (payloadLen)."""
 
     pos: int
     payload: int = 0
+    payload_len: int = 0
+
+    def payload_bytes(self) -> bytes:
+        """The term_hit::bytes() view: the meaningful payload bytes."""
+        return int(self.payload).to_bytes(8, "little")[: self.payload_len]
 
 
 @dataclass
@@ -454,7 +460,11 @@ def exec_rich(
             if allpay is not None:
                 b0 = int(bounds[slot_of[text]])
                 hits = [
-                    TermHit(p, int(allpay[b0 + i]))
+                    TermHit(
+                        p,
+                        int(allpay["val"][b0 + i]),
+                        int(allpay["len"][b0 + i]),
+                    )
                     for i, p in enumerate(pos_list)
                 ]
             else:

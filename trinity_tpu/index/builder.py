@@ -16,7 +16,12 @@ import os
 
 import numpy as np
 
-from trinity_tpu.index.format import FieldStatistics, SegmentData
+from trinity_tpu.index.format import (
+    PAYLOAD_DT,
+    FieldStatistics,
+    SegmentData,
+    pack_payloads,
+)
 from trinity_tpu.limits import (
     BLOCK_SIZE,
     MAX_FREQ_BITS,
@@ -34,13 +39,26 @@ class DocumentProxy:
     def __init__(self, session, doc_id: int):
         self._session = session
         self.doc_id = doc_id
-        self.hits = []  # (term_id, position, payload)
+        self.hits = []  # (term_id, position, payload_val, payload_len)
 
-    def insert(self, term, position: int, payload: int = 0) -> None:
+    def insert(self, term, position: int, payload=0, payload_len=None) -> None:
+        """payload: int (u64) or bytes (<= 8, the Encoder payload-span form,
+        codecs.h:176-200). payload_len defaults to len(bytes), else 8 for a
+        nonzero int, else 0 — the term_hit.payloadLen field (runtime.h:8-20)."""
         if position >= MAX_POSITION:
             raise ValueError(f"position {position} >= MaxPosition {MAX_POSITION}")
+        if isinstance(payload, (bytes, bytearray)):
+            if len(payload) > 8:
+                raise ValueError(f"payload {len(payload)} bytes > 8")
+            if payload_len is None:
+                payload_len = len(payload)
+            payload = int.from_bytes(payload, "little")
+        if payload_len is None:
+            payload_len = 8 if payload else 0
+        if not 0 <= payload_len <= 8:
+            raise ValueError(f"payload_len {payload_len} not in [0, 8]")
         tid = self._session._intern(term)
-        self.hits.append((tid, position, payload))
+        self.hits.append((tid, position, payload, payload_len))
 
 
 class SegmentIndexSession:
@@ -66,6 +84,7 @@ class SegmentIndexSession:
         self.spill_threshold = spill_threshold
         self._spill_dir = spill_dir
         self._spills: list = []
+        self._flat_batches: list = []  # bulk_index_ids pre-flattened hits
         self._pending_hits = 0
 
     # ----------------------------------------------------------- interning
@@ -118,7 +137,7 @@ class SegmentIndexSession:
         """Spill the buffered documents to a temp file (the reference's
         intermediate-state flush, indexer.cpp:134-152). Safe to call any
         time; commit() merges every spill."""
-        if not self._docs:
+        if not self._docs and not self._flat_batches:
             return
         import tempfile
 
@@ -133,6 +152,7 @@ class SegmentIndexSession:
             np.savez(f, **arrays)
         self._spills.append(path)
         self._docs.clear()
+        self._flat_batches.clear()
         self._pending_hits = 0
 
     def _flatten_pending(self):
@@ -142,11 +162,13 @@ class SegmentIndexSession:
         def nhits(h):
             return len(h[0]) if isinstance(h, tuple) else len(h)
 
-        total = sum(nhits(h) for h in self._docs.values())
+        total = sum(nhits(h) for h in self._docs.values()) + sum(
+            len(b[0]) for b in self._flat_batches
+        )
         tid_a = np.empty(total, np.int64)
         doc_a = np.empty(total, np.int64)
         pos_a = np.empty(total, np.int64)
-        pay_a = np.empty(total, np.uint64) if self.track_payloads else None
+        pay_a = np.zeros(total, PAYLOAD_DT) if self.track_payloads else None
         o = 0
         for app_id, hits in self._docs.items():
             if isinstance(hits, tuple):  # bulk_index array fast path
@@ -154,29 +176,40 @@ class SegmentIndexSession:
                 tid_a[o : o + n] = hits[0]
                 doc_a[o : o + n] = app_id
                 pos_a[o : o + n] = hits[1]
-                if pay_a is not None:
-                    pay_a[o : o + n] = hits[2] if hits[2] is not None else 0
+                if pay_a is not None and hits[2] is not None:
+                    pay_a[o : o + n] = hits[2]
                 o += n
                 continue
-            for t, pp, pl in hits:
+            for t, pp, pl, pln in hits:
                 tid_a[o] = t
                 doc_a[o] = app_id
                 pos_a[o] = pp
                 if pay_a is not None:
-                    pay_a[o] = pl
+                    pay_a[o] = (pl, pln)
                 o += 1
+        for bt, bd, bp, bpay in self._flat_batches:
+            n = len(bt)
+            tid_a[o : o + n] = bt
+            doc_a[o : o + n] = bd
+            pos_a[o : o + n] = bp
+            if pay_a is not None and bpay is not None:
+                pay_a[o : o + n] = bpay
+            o += n
         return tid_a, doc_a, pos_a, pay_a
 
     def bulk_index(
-        self, doc_ids, docs_tokens, first_pos: int = 1, payloads=None
+        self, doc_ids, docs_tokens, first_pos: int = 1, payloads=None,
+        payload_lens=None,
     ) -> None:
         """Vectorized batch ingestion: one np.unique interning pass over the
         whole batch instead of per-token dict lookups — the bulk analog of
         the reference's buffered commit pipeline (indexer.cpp:311-420).
         docs_tokens: sequence of token lists, positions assigned
         first_pos..len (token-parser output order). payloads: optional
-        per-doc sequences of u64 hit payloads aligned to the tokens
-        (term_hit.payload, runtime.h:8-20); requires track_payloads."""
+        per-doc sequences of u64 hit payloads aligned to the tokens, with
+        optional parallel payload_lens (term_hit.payload/payloadLen,
+        runtime.h:8-20; lens default 8 for nonzero values); requires
+        track_payloads."""
         if payloads is not None and not self.track_payloads:
             raise ValueError("payloads require track_payloads=True")
         docs_tokens = list(docs_tokens)
@@ -205,12 +238,78 @@ class SegmentIndexSession:
             self._docs[d] = (
                 tids[o : o + n],
                 np.arange(first_pos, first_pos + n, dtype=np.int64),
-                np.asarray(payloads[di], np.uint64)
+                pack_payloads(
+                    payloads[di],
+                    payload_lens[di] if payload_lens is not None else None,
+                )
                 if payloads is not None
                 else None,
             )
             self._pending_hits += n
             o += n
+        self._maybe_spill()
+
+    def bulk_index_ids(
+        self,
+        doc_ids,
+        token_ids,
+        doc_bounds,
+        id_to_term,
+        first_pos: int = 1,
+        payloads=None,
+        payload_lens=None,
+    ) -> None:
+        """Fully vectorized ingestion of a pre-tokenized integer stream —
+        the large-corpus analog of the reference's buffered commit pipeline
+        (indexer.cpp:311-420) for callers that already hold token ids.
+
+        doc_ids: (D,) app doc ids. token_ids: (N,) ints indexing
+        id_to_term. doc_bounds: (D+1,) prefix offsets — doc d's tokens are
+        token_ids[doc_bounds[d]:doc_bounds[d+1]], positions assigned
+        first_pos.. in stream order. id_to_term: sequence mapping token id
+        -> term text; only ids that actually appear are interned, so the
+        committed segment is identical to the equivalent bulk_index call.
+        payloads: optional (N,) u64 per-hit payloads, payload_lens optional
+        (N,) u8 lengths (requires track_payloads)."""
+        if payloads is not None and not self.track_payloads:
+            raise ValueError("payloads require track_payloads=True")
+        doc_ids = np.asarray(doc_ids, np.int64)
+        token_ids = np.asarray(token_ids, np.int64)
+        doc_bounds = np.asarray(doc_bounds, np.int64)
+        if len(doc_bounds) != len(doc_ids) + 1 or doc_bounds[-1] != len(
+            token_ids
+        ):
+            raise ValueError("doc_bounds must be a (D+1,) prefix over token_ids")
+        lengths = np.diff(doc_bounds)
+        max_len = int(lengths.max()) if len(lengths) else 0
+        if max_len and first_pos + max_len - 1 >= MAX_POSITION:
+            raise ValueError(
+                f"position {first_pos + max_len - 1} >= MaxPosition {MAX_POSITION}"
+            )
+        dup = self._seen.intersection(doc_ids.tolist())
+        if dup:
+            raise ValueError(f"document {next(iter(dup))} committed twice")
+        self._seen.update(int(d) for d in doc_ids)
+        n = len(token_ids)
+        if n == 0:
+            return
+        present = np.unique(token_ids)
+        remap = np.full(int(present.max()) + 1, -1, np.int64)
+        remap[present] = [self._intern(id_to_term[int(i)]) for i in present]
+        tid_a = remap[token_ids]
+        doc_a = np.repeat(doc_ids, lengths)
+        pos_a = (
+            np.arange(n, dtype=np.int64)
+            - np.repeat(doc_bounds[:-1], lengths)
+            + first_pos
+        )
+        pay_a = (
+            pack_payloads(payloads, payload_lens)
+            if payloads is not None
+            else None
+        )
+        self._flat_batches.append((tid_a, doc_a, pos_a, pay_a))
+        self._pending_hits += n
         self._maybe_spill()
 
     # -------------------------------------------------------------- commit
@@ -233,7 +332,7 @@ class SegmentIndexSession:
                 [
                     x[3]
                     if x[3] is not None
-                    else np.zeros(len(x[0]), np.uint64)
+                    else np.zeros(len(x[0]), PAYLOAD_DT)
                     for x in parts
                 ]
             )
@@ -361,7 +460,7 @@ class SegmentIndexSession:
             )
             os.close(fd)
             pay_mm = np.lib.format.open_memmap(
-                pay_path, mode="w+", dtype=np.uint64, shape=(max(total, 1),)
+                pay_path, mode="w+", dtype=PAYLOAD_DT, shape=(max(total, 1),)
             )
 
         def append_planes(words, p_local):
@@ -407,7 +506,7 @@ class SegmentIndexSession:
                         parts_pl.append(
                             z["pay"][sel]
                             if "pay" in z.files
-                            else np.zeros(int(sel.sum()), np.uint64)
+                            else np.zeros(int(sel.sum()), PAYLOAD_DT)
                         )
                 if not parts_t:
                     continue

@@ -39,6 +39,35 @@ from trinity_tpu.limits import BLOCK_SIZE, WINDOW_SIZE
 FORMAT_VERSION = 1
 CODEC_NAME = "tpu_planes"
 
+# Per-hit payload: u64 value + u8 length, exactly the reference's term_hit
+# {payload, payloadLen} pair (runtime.h:8-20) — applications write <= 8
+# payload BYTES per hit (codecs.h:176-200 Encoder payload span) and read
+# back both the value and how many bytes were meaningful.
+PAYLOAD_DT = np.dtype([("val", "<u8"), ("len", "u1")])
+
+
+def pack_payloads(vals, lens=None) -> np.ndarray:
+    """Build a PAYLOAD_DT array from u64 values (+ optional u8 lengths).
+    Without lens, nonzero values default to the full 8 bytes."""
+    vals = np.asarray(vals, np.uint64)
+    out = np.zeros(len(vals), PAYLOAD_DT)
+    out["val"] = vals
+    out["len"] = (
+        np.asarray(lens, np.uint8)
+        if lens is not None
+        else np.where(vals != 0, 8, 0).astype(np.uint8)
+    )
+    return out
+
+
+def as_payload_array(arr) -> np.ndarray:
+    """Coerce a payload stream to PAYLOAD_DT (plain-u64 streams from older
+    persisted segments get the default length rule)."""
+    arr = np.asarray(arr)
+    if arr.dtype == PAYLOAD_DT:
+        return arr
+    return pack_payloads(arr)
+
 
 @dataclass
 class FieldStatistics:
@@ -91,7 +120,7 @@ class SegmentData:
     planes: np.ndarray  # u32 [R, 128] packed plane matrix (bitpack.py)
     hit_planes: np.ndarray  # u32 [R2, 128] plane-packed positions stream
     hit_group_off: np.ndarray  # u32 [ceil(H/128)+1] plane offsets per group
-    payloads: np.ndarray | None  # u64 [total_hits] or None
+    payloads: np.ndarray | None  # PAYLOAD_DT [total_hits] or None
     # masking & stats
     updated_ids: np.ndarray  # u32 [k] sorted app docids shadowed by this segment
     stats: FieldStatistics = field(default_factory=FieldStatistics)
@@ -264,7 +293,9 @@ class SegmentData:
             raise ValueError(f"unknown codec {manifest['codec']!r}")
         z = np.load(os.path.join(path, "index.npz"))
         kw = {name: z[name] for name in cls._ARRAYS}
-        kw["payloads"] = z["payloads"] if manifest["has_payloads"] else None
+        kw["payloads"] = (
+            as_payload_array(z["payloads"]) if manifest["has_payloads"] else None
+        )
         # terms stay PACKED: lookups go through lookup_term (terms.cpp:8-103)
         kw["terms"] = None
         return cls(

@@ -204,7 +204,11 @@ def load(path: str, manifest: dict):
     tid_a = np.repeat(p_tid, freqs)
     doc_a = np.repeat(docs.astype(np.int64), freqs)
     pos_a = positions.astype(np.uint16)
-    pay_a = z["payloads"] if manifest["has_payloads"] else None
+    from trinity_tpu.index.format import as_payload_array
+
+    pay_a = (
+        as_payload_array(z["payloads"]) if manifest["has_payloads"] else None
+    )
     terms = unpack_terms(z["terms_data"], z["terms_idx"])
     seg = _build_segment(
         doc_map.astype(np.uint32),

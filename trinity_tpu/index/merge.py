@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from trinity_tpu.index.builder import _build_segment
-from trinity_tpu.index.format import SegmentData, decode_block
+from trinity_tpu.index.format import PAYLOAD_DT, SegmentData, decode_block
 from trinity_tpu.index.source import IndexSource
 
 
@@ -175,7 +175,7 @@ class MergeCandidatesCollection:
                     all_pay.append(seg.payloads[: total_hits][hit_alive])
                 else:
                     all_pay.append(
-                        np.zeros(int(hit_alive.sum()), np.uint64)
+                        np.zeros(int(hit_alive.sum()), PAYLOAD_DT)
                     )
 
         if all_tid:
@@ -189,7 +189,7 @@ class MergeCandidatesCollection:
                 pay_a = pay_a[perm]
         else:
             tid_a = doc_a = pos_a = np.zeros(0, np.int64)
-            pay_a = np.zeros(0, np.uint64) if any_payloads else None
+            pay_a = np.zeros(0, PAYLOAD_DT) if any_payloads else None
 
         merged_term_list = [
             t if isinstance(t, bytes) else t.encode() for t in merged_terms
