@@ -2,34 +2,38 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload (BASELINE.json configs 1-3): a synthetic Wikipedia-abstract-shaped
-corpus (Zipf vocabulary, short documents) and a mixed query set — AND
-conjunctions, OR disjunctions, NOT filters and exact phrases — each
-returning exact BM25 top-10. Query latency is measured sequentially
-(single-stream, matching the reference's one-query-per-call model,
-exec.cpp:509); QPS = queries/second end-to-end including host planning.
+Workload (BASELINE.json configs 1-3): a Wikipedia-shaped synthetic corpus —
+524,288-term Zipf(1.07) vocabulary, 40-80-token documents, 1M docs (~63M
+postings) — and a 120-query mixed set: AND conjunctions (40%), OR
+disjunctions (30%), NOT filters (20%) and exact phrases (10%), with query
+terms sampled ACROSS the df spectrum (hot >=100k-doc terms, mid 1k-100k,
+rare 20-1k) and phrases drawn from real document co-occurrences. Each query
+returns exact BM25 top-10.
 
-vs_baseline: the reference publishes no numbers and cannot be built here
-(submodules absent; BASELINE.md), so the denominator is an estimate of
-single-core Trinity on THIS workload (1M docs, Zipf-hot terms, mixed
-boolean + phrase): anchored on the reference's own engineering notes — a
-single disjunction over 759,721 docs took 128 ms (docset_iterators.h:262),
-a span-window workload 47 ms/query (docset_spans.h:68-71), and
-DisjunctionSome spends >35% of runtime in heap ops (docset_iterators.h:58).
-Hot queries here touch ~1M postings; at the reference's SIMD-PFor decode
-rates (~200-400 M postings/s/core) decode alone is 3-5 ms/query, so a
-realistic single-core mixed-workload estimate is ~150 QPS.
+vs_baseline is MEASURED, not estimated: baseline/engine.cpp is a
+single-core scalar engine faithful to the reference's hot path (128-entry
+varbyte posting blocks + per-block skip entries as in lucene_codec.cpp's
+block decode/seek, rarest-first leapfrog AND as in
+docset_iterators.cpp:226-348, document-at-a-time OR merge as in 350-405,
+positions-adjacency phrases, BM25 per similarity.h:165-255 with the same
+score-desc/docid-asc tie-break). It runs on the SAME corpus + queries on
+this host and its measured QPS is the denominator (cached per corpus in
+the corpus cache dir; tools/check_baseline_parity.py cross-validates its
+top-10 against this engine's). If the baseline binary cannot be built the
+bench falls back to the r1-r3 literature estimate (150 QPS) and says so in
+the metric string.
 
-SENSITIVITY: the estimate spans roughly 100-250 QPS depending on assumed
-decode rate and heap overhead — the reference's own numbers imply 8-21
-QPS for pure hot disjunctions (128 ms/query) and a few hundred QPS for
-cheap conjunctions, and the 40/30/20/10 AND/OR/NOT/phrase mix weights the
-middle. At the optimistic extreme (250 QPS), a reported vs_baseline of R
-deflates to R * 150/250 = 0.6R; at the pessimistic extreme (100), it
-inflates to 1.5R. The measured QPS value itself is assumption-free.
+Protocol notes (CLAUDE.md): the corpus is built in a SEPARATE process
+(host-heavy work contends with TPU measurement on this 1-core host); the
+baseline runs before any TPU work; warmup executes every program variant
+and then the variant set is SEALED (utils/aotcache.seal_programs) — a
+post-warmup compile anywhere in the measurement loop fails the bench
+instead of shipping a corrupted p99.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -39,66 +43,209 @@ import numpy as np
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
-BASELINE_QPS = 150.0
+EST_BASELINE_QPS = 150.0  # pre-r4 literature estimate (fallback only)
 N_DOCS = 1_048_576
-VOCAB = 20_000
-SEED = 1234
+VOCAB = 524_288
+SEED = 2024
+DOC_LEN = (40, 81)  # uniform [40, 80]
+ZIPF_S = 1.07
+N_QUERIES = 120
+CACHE_ROOT = "/tmp/trinity_bench_seg"
 
 
-def build_corpus(cache_dir: str = "/tmp/trinity_bench_seg"):
-    """Build (or reload) the bench corpus. The segment is persisted after
-    the first build — SegmentData.persist/load is the framework's own
-    checkpoint format, so later bench/profiling runs skip the ~90 s
-    synthetic build and also exercise the packed-terms load path."""
-    import os
+def _cache_dir():
+    return os.path.join(CACHE_ROOT, f"wiki-{N_DOCS}-{VOCAB}-{SEED}")
 
+
+def _docs_bin():
+    return os.path.join(_cache_dir(), "docs.bin")
+
+
+# ------------------------------------------------------------------ corpus
+def build_corpus():
+    """Load the cached bench corpus, building it in a SUBPROCESS if absent
+    (keeps the 63M-token build's memory and CPU churn out of the measuring
+    process; SegmentData.persist/load is the framework's own checkpoint
+    format, so later runs also exercise the packed-terms load path)."""
     from trinity_tpu.index.format import SegmentData
 
-    tag = os.path.join(cache_dir, f"{N_DOCS}-{VOCAB}-{SEED}")
-    if os.path.exists(os.path.join(tag, "id")):
-        return SegmentData.load(tag)
-    seg = _build_corpus_fresh()
-    try:
-        seg.persist(tag)
-    except OSError:
-        pass  # cache is best-effort
-    return seg
+    tag = _cache_dir()
+    if not os.path.exists(os.path.join(tag, "seg", "id")):
+        _log("corpus cache miss; building in a subprocess...")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-corpus"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if r.returncode != 0:
+            raise RuntimeError("corpus build subprocess failed")
+    return SegmentData.load(os.path.join(tag, "seg"))
 
 
 def _build_corpus_fresh():
+    """Build the corpus + docs.bin export (run inside the subprocess)."""
     from trinity_tpu.index.builder import SegmentIndexSession
 
+    t0 = time.time()
     rng = np.random.default_rng(SEED)
-    zipf = 1.0 / np.arange(1, VOCAB + 1) ** 1.07
+    zipf = 1.0 / np.arange(1, VOCAB + 1) ** ZIPF_S
     zipf /= zipf.sum()
-    sess = SegmentIndexSession()
-    lengths = rng.integers(6, 24, size=N_DOCS)
-    all_tokens = rng.choice(VOCAB, size=int(lengths.sum()), p=zipf)
-    names = np.array([f"w{i}" for i in range(VOCAB)], dtype=object)
-    toks = names[all_tokens]
+    lengths = rng.integers(DOC_LEN[0], DOC_LEN[1], size=N_DOCS)
     bounds = np.zeros(N_DOCS + 1, np.int64)
     np.cumsum(lengths, out=bounds[1:])
-    docs = [toks[bounds[d] : bounds[d + 1]].tolist() for d in range(N_DOCS)]
-    sess.bulk_index(range(N_DOCS), docs)
-    return sess.commit()
+    all_tokens = rng.choice(VOCAB, size=int(bounds[-1]), p=zipf).astype(
+        np.uint32
+    )
+    _log(f"tokens drawn in {time.time()-t0:.0f}s ({len(all_tokens)} hits)")
+
+    tag = _cache_dir()
+    os.makedirs(tag, exist_ok=True)
+    # docs.bin: the corpus interchange consumed by baseline/engine.cpp and
+    # by the phrase-query sampler ("TBC1", n_docs, vocab, bounds, tokens)
+    tmp = _docs_bin() + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"TBC1")
+        np.array([N_DOCS, VOCAB], np.uint32).tofile(f)
+        bounds.tofile(f)
+        all_tokens.tofile(f)
+    os.replace(tmp, _docs_bin())
+
+    names = [f"w{i}" for i in range(VOCAB)]
+    sess = SegmentIndexSession()
+    sess.bulk_index_ids(
+        np.arange(N_DOCS), all_tokens.astype(np.int64), bounds, names
+    )
+    _log(f"ingested in {time.time()-t0:.0f}s; committing...")
+    seg = sess.commit()
+    seg.persist(os.path.join(tag, "seg"))
+    _log(
+        f"corpus built in {time.time()-t0:.0f}s: "
+        f"{seg.n_docs} docs, {seg.n_terms} terms"
+    )
+    return seg
 
 
-def make_queries(rng, n=120):
-    qs = []
+def _read_docs_bin():
+    with open(_docs_bin(), "rb") as f:
+        assert f.read(4) == b"TBC1"
+        n_docs, vocab = np.fromfile(f, np.uint32, 2)
+        bounds = np.fromfile(f, np.int64, int(n_docs) + 1)
+        tokens = np.fromfile(f, np.uint32, int(bounds[-1]))
+    return int(n_docs), int(vocab), bounds, tokens
+
+
+# ----------------------------------------------------------------- queries
+def make_queries(seg, rng, n=N_QUERIES):
+    """Mixed query set across the df spectrum. Returns (texts, id_lines):
+    texts feed this engine's parser; id_lines ("A i j" / "O i j k" /
+    "N pos neg" / "P i j") feed the baseline binary so both engines run the
+    IDENTICAL workload."""
+    # df tiers probed at log-spaced vocabulary ranks (the Zipf rank order
+    # approximates df order; the tiers are defined on MEASURED df)
+    cand = np.unique(np.geomspace(1, VOCAB, 6000).astype(np.int64)) - 1
+    dfs = np.zeros(len(cand), np.int64)
+    for i, r in enumerate(cand):
+        tid = seg.term_id(f"w{int(r)}")
+        dfs[i] = int(seg.term_df[tid]) if tid >= 0 else 0
+    hot = cand[dfs >= 100_000]
+    mid = cand[(dfs >= 1_000) & (dfs < 100_000)]
+    rare = cand[(dfs >= 20) & (dfs < 1_000)]
+    assert len(hot) >= 4 and len(mid) >= 16 and len(rare) >= 16, (
+        len(hot), len(mid), len(rare),
+    )
+    pick = lambda pool: int(pool[rng.integers(0, len(pool))])
+
+    # real co-occurrences for phrases: adjacent token pairs from documents
+    _, _, bounds, tokens = _read_docs_bin()
+
+    def bigram():
+        while True:
+            d = int(rng.integers(0, N_DOCS))
+            b, e = bounds[d], bounds[d + 1]
+            i = int(rng.integers(b, e - 1))
+            a, c = int(tokens[i]), int(tokens[i + 1])
+            if a != c:
+                return a, c
+
+    texts, id_lines = [], []
+    and_mix = [(hot, mid), (mid, mid), (mid, rare), (hot, rare)]
+    or_mix = [(hot, mid, rare), (mid, mid, rare), (hot, mid, mid)]
+    not_mix = [(mid, hot), (hot, mid), (mid, mid)]
     for i in range(n):
         kind = i % 10
-        a, b, c = (int(x) for x in rng.integers(0, 3000, 3))
-        if kind < 4:
-            qs.append(f"w{a} w{b}")
-        elif kind < 7:
-            qs.append(f"w{a} OR w{b} OR w{c}")
-        elif kind < 9:
-            qs.append(f"w{a} NOT w{b}")
-        else:
-            qs.append(f'"w{a} w{b}"')
-    return qs
+        if kind < 4:  # 40% AND
+            pa, pb = and_mix[i % len(and_mix)]
+            a, b = pick(pa), pick(pb)
+            texts.append(f"w{a} w{b}")
+            id_lines.append(f"A {a} {b}")
+        elif kind < 7:  # 30% OR
+            pa, pb, pc = or_mix[i % len(or_mix)]
+            a, b, c = pick(pa), pick(pb), pick(pc)
+            texts.append(f"w{a} OR w{b} OR w{c}")
+            id_lines.append(f"O {a} {b} {c}")
+        elif kind < 9:  # 20% NOT
+            pa, pb = not_mix[i % len(not_mix)]
+            a, b = pick(pa), pick(pb)
+            texts.append(f"w{a} NOT w{b}")
+            id_lines.append(f"N {a} {b}")
+        else:  # 10% phrase (real bigram)
+            a, b = bigram()
+            texts.append(f'"w{a} w{b}"')
+            id_lines.append(f"P {a} {b}")
+    return texts, id_lines
 
 
+# ---------------------------------------------------------------- baseline
+def _repo_root():
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def measure_baseline(id_lines):
+    """Build + run the single-core scalar baseline on the same corpus and
+    queries; returns its result dict (cached per corpus + query digest +
+    engine source digest). Host-heavy: must run BEFORE any TPU work."""
+    import hashlib
+
+    src = os.path.join(_repo_root(), "baseline", "engine.cpp")
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(
+            f.read() + "\n".join(id_lines).encode()
+        ).hexdigest()[:16]
+    cache = os.path.join(_cache_dir(), f"baseline-{digest}.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    r = subprocess.run(
+        ["make", "-C", os.path.join(_repo_root(), "baseline")],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        _log(f"baseline build failed: {r.stderr.decode()[-200:]}")
+        return None
+    qfile = os.path.join(_cache_dir(), "queries.ids")
+    with open(qfile, "w") as f:
+        f.write("\n".join(id_lines) + "\n")
+    _log("measuring single-core baseline engine...")
+    r = subprocess.run(
+        [
+            os.path.join(_repo_root(), "baseline", "trinity_baseline"),
+            _docs_bin(),
+            qfile,
+            "--min-seconds",
+            "10",
+        ],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        _log(f"baseline run failed: {r.stderr.decode()[-200:]}")
+        return None
+    out = json.loads(r.stdout.decode().strip().splitlines()[-1])
+    with open(cache, "w") as f:
+        json.dump(out, f)
+    _log(f"baseline: {out}")
+    return out
+
+
+# ------------------------------------------------------------------ device
 def _wait_for_device(max_wait_s: int = 2400):
     """The remote TPU worker can be mid-recovery (a prior kernel fault
     wedges it ~10 min) or the service down for longer stretches (a 3 h
@@ -106,9 +253,6 @@ def _wait_for_device(max_wait_s: int = 2400):
     building. Backend-init failures are CACHED by jax within a process,
     so each retry probes in a fresh subprocess and the parent only
     touches the backend after a probe succeeds."""
-    import subprocess
-    import sys
-
     probe = (
         "import jax, jax.numpy as jnp;"
         "jax.block_until_ready(jnp.arange(4.0).sum())"
@@ -137,34 +281,43 @@ def main():
     # persistent compilation cache: kernel compiles survive across processes
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _wait_for_device()
 
+    t0 = time.time()
+    seg = build_corpus()
+    build_s = time.time() - t0
+    _log(f"corpus ready in {build_s:.0f}s: {seg.n_docs} docs, {seg.n_terms} terms")
+    rng = np.random.default_rng(SEED + 1)
+    queries, id_lines = make_queries(seg, rng)
+
+    # the HOST-heavy measured baseline runs before any TPU work (1-core
+    # host: concurrent host work corrupts TPU measurements and vice versa)
+    base = measure_baseline(id_lines)
+    base_qps = base["qps"] if base else EST_BASELINE_QPS
+
+    _wait_for_device()
     from trinity_tpu.config import configure
     from trinity_tpu.exec import Executor
+    from trinity_tpu.utils.aotcache import post_seal_misses, seal_programs
 
     # persistent COMPILED-EXECUTABLE cache (utils/aotcache.py): the XLA
     # persistent cache misses Mosaic kernels on this backend, so serialized
     # executables are the cross-process warm-start path
     configure(aot_cache_dir="/root/repo/.aot_cache")
-
-    t0 = time.time()
-    seg = build_corpus()
-    build_s = time.time() - t0
-    _log(f"corpus built in {build_s:.0f}s: {seg.n_docs} docs, {seg.n_terms} terms")
     ex = Executor(seg)
-    rng = np.random.default_rng(SEED + 1)
-    queries = make_queries(rng)
 
     # warm every compile variant the workload touches — single-stream AND
-    # batched shapes (term buckets x batch buckets x phrase C2/fcap ladder);
-    # the persistent cache makes later processes start warm. Serving latency
-    # is then steady-state, like the reference's zero-compile-cost execution
-    # (exec.cpp:662-666).
+    # batched shapes (term buckets x batch buckets x phrase C2/fcap ladder)
+    # — then SEAL: any post-warmup compile in the serving loop is a
+    # measurement-corrupting coverage hole (observed as a 5x p99 in r3) and
+    # fails the bench rather than shipping that number. This recovers the
+    # reference's steady-state zero-compile serving (exec.cpp:662-666).
     wstat = ex.warmup(queries, k=10)
+    seal_programs(strict=False)
     _log(
         f"warmup done at {time.time()-t0:.0f}s "
         f"({wstat['programs']} program variants in {wstat['seconds']:.0f}s)"
     )
+
     # serving-loop throughput: consecutive batches pipeline (dispatch N+1
     # while N executes, Executor.launch_batch/finish_batch) so the
     # per-batch host planning and tunnel round trip overlap device compute.
@@ -182,35 +335,59 @@ def main():
 
     qps = float(np.median([qps_loop() for _ in range(3)]))
 
-    # single-stream blocking latency (includes host<->device RTT); all 120
-    # queries — a p99 over fewer samples is just the max of the run
+    # single-stream blocking latency (includes host<->device RTT). Three
+    # passes over all 120 queries; report the MEDIAN per-pass percentile —
+    # same robustness policy as the QPS loops (the shared remote service
+    # shows transient multi-100ms stalls unrelated to this engine).
     ex.search(queries[0], k=10)  # settle: drain the pipelined burst
-    lat = []
-    for q in queries:
-        t1 = time.perf_counter()
-        ex.search(q, k=10)
-        lat.append(time.perf_counter() - t1)
-    lat_ms = np.array(lat) * 1e3
+    p50s, p99s = [], []
+    for _ in range(3):
+        lat = []
+        for q in queries:
+            t1 = time.perf_counter()
+            ex.search(q, k=10)
+            lat.append(time.perf_counter() - t1)
+        lat_ms = np.array(lat) * 1e3
+        p50s.append(np.percentile(lat_ms, 50))
+        p99s.append(np.percentile(lat_ms, 99))
+    if post_seal_misses():
+        raise RuntimeError(
+            f"{post_seal_misses()} program variant(s) compiled INSIDE the "
+            "measurement loop — warmup coverage hole; numbers are invalid"
+        )
+
     mem = seg.memory_report()
+    base_note = (
+        f"baseline MEASURED {base_qps:.0f} qps single-core "
+        f"(p50={base['p50_ms']:.1f}ms p99={base['p99_ms']:.1f}ms) same "
+        "corpus+queries"
+        if base
+        else "baseline ESTIMATED 150 qps (binary unavailable)"
+    )
     out = {
         "metric": (
             "mixed AND/OR/NOT/phrase BM25 top-10 QPS, single chip, "
-            f"{N_DOCS} docs (p50={np.percentile(lat_ms, 50):.2f}ms "
-            f"p99={np.percentile(lat_ms, 99):.2f}ms, index build {build_s:.0f}s, "
-            f"index mem {mem['total']/1e6:.0f}MB "
+            f"{N_DOCS} docs x {VOCAB}-term Zipf vocab, 40-80 tok/doc "
+            f"(p50={np.median(p50s):.2f}ms p99={np.median(p99s):.2f}ms "
+            "median-of-3 passes, "
+            f"corpus ready {build_s:.0f}s, index mem {mem['total']/1e6:.0f}MB "
             f"[postings {mem['postings_planes']/1e6:.0f} + positions "
             f"{mem['positions_planes']/1e6:.0f} + meta "
             f"{mem['block_term_meta']/1e6:.0f} + terms "
             f"{mem['terms_dict']/1e6:.1f}], "
-            f"warmup {wstat['programs']} variants in {wstat['seconds']:.0f}s, "
+            f"warmup {wstat['programs']} variants in {wstat['seconds']:.0f}s "
+            f"sealed + 0 post-warm compiles, {base_note}, "
             f"backend={jax.default_backend()})"
         ),
         "value": round(qps, 2),
         "unit": "qps",
-        "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "vs_baseline": round(qps / base_qps, 3),
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--build-corpus" in sys.argv:
+        _build_corpus_fresh()
+    else:
+        main()

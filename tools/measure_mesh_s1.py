@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -67,6 +69,11 @@ def main():
     got_m = mex.search_batch(queries, k=10)
     for q, a, b in zip(queries, got_e, got_m):
         assert [r.doc_id for r in a] == [r.doc_id for r in b], q
+        # ids exact AND scores within 2 ulp — the repo invariant
+        np.testing.assert_allclose(
+            [r.score for r in a], [r.score for r in b],
+            rtol=2.4e-7, atol=0, err_msg=q,
+        )
 
     def timed(fn):
         fn()  # warm (compiles)
