@@ -171,3 +171,70 @@ def test_span_sharing_overlap_still_branches():
     corpus.add(4, ["ny", "yc"])  # ny + yc: no complete path (overlap)
     corpus.add(5, ["new", "york"])
     assert oracle_match_ids(corpus, r.root) == [1, 2, 3]
+
+
+def test_altcache_cross_call_memo():
+    """AltCache (the gen_ctx analog, queries_rewrite.h:187-243): repeated/
+    overlapping windows across rewrite_query calls never re-invoke the
+    provider, per logical index; results stay identical to uncached."""
+    from trinity_tpu.query.ast import node_to_str
+    from trinity_tpu.query.rewrite import AltCache
+
+    calls = []
+
+    def provider(w):
+        calls.append(tuple(w))
+        return synonyms(w)
+
+    cache = AltCache()
+    r1 = rewrite_query(parse_query("new york mac"), provider, cache=cache)
+    n_first = len(calls)
+    assert n_first > 0
+    r2 = rewrite_query(parse_query("new york mac"), provider, cache=cache)
+    assert len(calls) == n_first  # every window memoized
+    assert node_to_str(r2.root) == node_to_str(r1.root)
+    # overlapping-but-new windows only invoke for the NEW windows
+    rewrite_query(parse_query("new york city"), provider, cache=cache)
+    fresh = calls[n_first:]
+    assert ("new", "york") not in fresh and ("city" in w for w in fresh)
+    # a different logical index does NOT share entries
+    before = len(calls)
+    rewrite_query(parse_query("new york mac"), provider, cache=cache,
+                  logical_index=7)
+    assert len(calls) > before
+    # uncached baseline: same output tree
+    r0 = rewrite_query(parse_query("new york mac"), synonyms)
+    assert node_to_str(r0.root) == node_to_str(r1.root)
+
+
+def test_leader_nodes():
+    """leader_nodes (queries.cpp:1464-1497): a minimal node set such that
+    every matching doc matches at least one leader — OR contributes both
+    branches, AND one, NOT only the positive side, optionals none."""
+
+    def leads(qs):
+        return sorted(
+            " ".join(t.text for t in p.terms)
+            for p in parse_query(qs).leader_nodes()
+        )
+
+    assert leads("apple") == ["apple"]
+    assert leads("apple banana") == ["apple"]
+    assert leads("apple OR banana") == ["apple", "banana"]
+    assert leads("(apple OR banana) cherry") == ["apple", "banana"]
+    assert leads('"red apple" OR pear') == ["pear", "red apple"]
+    assert leads("apple NOT banana") == ["apple"]
+    assert leads("apple <case>") == ["apple"]
+
+
+def test_subexpressions_offsets():
+    """subexpressions_offsets (queries.cpp:1923-1989): starting token index
+    per independent span segment; phrases/ORs collapse to one segment."""
+    assert parse_query("apple banana").subexpressions_offsets() == [0, 1]
+    assert parse_query("apple OR banana").subexpressions_offsets() == [0]
+    assert parse_query('"new york" city').subexpressions_offsets() == [0, 2]
+    assert parse_query("apple NOT banana").subexpressions_offsets() == [0]
+    q = parse_query("(apple OR banana) cherry")
+    assert q.subexpressions_offsets() == [0, 1]
+    assert q.subexpressions_count() == 2
+    assert parse_query("").subexpressions_offsets() == []

@@ -355,6 +355,24 @@ class Query:
         self.root, self.tokens_count = normalize_root(self.root)
         return self
 
+    def leader_nodes(self):
+        """query::leader_nodes analog (queries.cpp:1464-1497, 1787)."""
+        from trinity_tpu.query.introspect import leader_nodes
+
+        return leader_nodes(self.root)
+
+    def subexpressions_offsets(self):
+        """query::subexpressions_offsets analog (queries.cpp:1923-1989);
+        tokens_count plays final_index (both are normalize()'s counter)."""
+        from trinity_tpu.query.introspect import subexpressions_offsets
+
+        return subexpressions_offsets(self.root, self.tokens_count)
+
+    def subexpressions_count(self) -> int:
+        from trinity_tpu.query.introspect import subexpressions_count
+
+        return subexpressions_count(self.root, self.tokens_count)
+
 
 def parse_query(
     text: str,

@@ -54,16 +54,50 @@ class Alternative:
 AltProvider = Callable[[Sequence[str]], List[Alternative]]
 
 
+class AltCache:
+    """Cross-query alternatives memo, keyed per LOGICAL INDEX — the
+    gen_ctx analog (queries_rewrite.h:187-243): the reference keeps one
+    generation context per logical index so the application's alternatives
+    lambda is invoked once per distinct token window, not once per
+    overlapping window per query. An application serving many queries
+    against the same index passes one AltCache to every rewrite_query call
+    (providers for different logical indices don't collide: the index id
+    is part of the key)."""
+
+    def __init__(self):
+        self._m: Dict[Tuple[int, Tuple[str, ...]], List[Alternative]] = {}
+
+    def get(self, logical_index: int, window: Tuple[str, ...]):
+        return self._m.get((logical_index, window))
+
+    def put(self, logical_index: int, window, alts: List[Alternative]):
+        self._m[(logical_index, window)] = alts
+
+    def __len__(self):
+        return len(self._m)
+
+
 @dataclass
 class _RunCtx:
     budget: int
     provider: AltProvider
     k: int
+    shared: Optional[AltCache] = None  # cross-call (per logical index)
+    logical_index: int = 0
     cache: Dict[Tuple[str, ...], List[Alternative]] = field(default_factory=dict)
 
     def alternatives(self, window: Tuple[str, ...]) -> List[Alternative]:
         if window not in self.cache:
-            self.cache[window] = self.provider(window) or []
+            hit = (
+                self.shared.get(self.logical_index, window)
+                if self.shared is not None
+                else None
+            )
+            if hit is None:
+                hit = self.provider(window) or []
+                if self.shared is not None:
+                    self.shared.put(self.logical_index, window, hit)
+            self.cache[window] = hit
         return self.cache[window]
 
 
@@ -244,16 +278,23 @@ def rewrite_query(
     provider: AltProvider,
     k: int = 3,
     budget: int = 256,
+    cache: Optional[AltCache] = None,
+    logical_index: int = 0,
 ) -> Query:
     """rewrite_query analog (queries_rewrite.h:992-997): returns a NEW
     normalized query with every AND-run of tokens expanded by the
-    application's alternatives. The original query is not modified."""
+    application's alternatives. The original query is not modified.
+    cache/logical_index: optional cross-call AltCache (gen_ctx analog) so
+    repeated/overlapping windows never re-invoke the provider."""
     from trinity_tpu.query.ast import copy_node
 
     if query.root is None:
         return Query(root=None)
     root = copy_node(query.root)
-    ctx = _RunCtx(budget=budget, provider=provider, k=k)
+    ctx = _RunCtx(
+        budget=budget, provider=provider, k=k,
+        shared=cache, logical_index=logical_index,
+    )
 
     def transform(node: Node) -> Node:
         if isinstance(node, Phrase):
