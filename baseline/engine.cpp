@@ -273,9 +273,11 @@ struct TopK {
     }
   }
   void sorted(std::vector<std::pair<float, uint32_t>>& out) {
+    // strongest first: weaker() returns "a ranks above b" (score desc,
+    // docid asc), so it IS the strict ordering for the final sort
     out = h;
     std::sort(out.begin(), out.end(),
-              [](const auto& a, const auto& b) { return weaker(b, a); });
+              [](const auto& a, const auto& b) { return weaker(a, b); });
   }
 };
 
