@@ -348,3 +348,38 @@ def test_mesh_collection_exec_modes():
     seen = []
     n = c.exec_rich("a", lambda m: seen.append(m.doc_id))
     assert n == 2 and sorted(seen) == [1, 4]
+
+
+def test_mesh_exec_rich_abort_and_filter_factory(sharded):
+    """Threaded mesh rich fan-out: AbortSearch stops delivery at exactly
+    the same prefix as the single-chip driver (ordered draining keeps
+    ascending doc order), and filter_factory runs once per shard (the
+    per-source filter-instance contract, exec.h:55-62)."""
+    from trinity_tpu.exec.richmatch import AbortSearch, exec_rich
+
+    seg, ex, mex = sharded
+    want = []
+    exec_rich(ex, "t0", lambda m: want.append(m.doc_id))
+    assert len(want) > 6
+
+    got = []
+
+    def take3(m):
+        if len(got) >= 3:
+            raise AbortSearch()
+        got.append(m.doc_id)
+
+    n = mex.exec_rich("t0", take3)
+    assert n == 3 and got == want[:3]
+
+    instances = []
+
+    def factory():
+        vetoed = []
+        instances.append(vetoed)
+        return {"doc_filter": lambda d: False}
+
+    full = []
+    mex.exec_rich("t0", lambda m: full.append(m.doc_id), filter_factory=factory)
+    assert full == want
+    assert len(instances) == len(mex._shard_executors())

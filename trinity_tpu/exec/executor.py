@@ -1105,6 +1105,22 @@ def _pick_c2(total_bound: int, c2_cap: int, k: int) -> int:
     return c2_cap
 
 
+def _phrase_group_c2(df_of, plan, slots, k) -> int:
+    """Per-QUERY lazy-phrase C2 bucket, used as part of the batch group
+    key: the verify stage costs C2 x a fixed per-candidate DMA (~3.3 us),
+    so grouping a rare bigram with a stopword bigram at the group-max C2
+    multiplied the whole batch's phrase cost (measured r4: one min-df-445k
+    phrase dragged 11 cheap phrases to C2=8192 -> 27 ms EACH). Same-bucket
+    queries still share one program variant. Shared by the single-chip and
+    mesh preps (bucket drift would hollow out warmup coverage)."""
+    from trinity_tpu.config import get_config
+
+    dfs = [int(df_of(plan.term_texts[s])) for s in slots]
+    return _pick_c2(
+        min(dfs) if dfs else 0, get_config().phrase_lazy_candidates, k
+    )
+
+
 def _pick_bucket(buckets, n: int) -> int:
     """Smallest batch bucket >= n, or n itself above the ladder — ONE
     policy for every grouped program (dense/flat/phrase/pruned, single-chip
@@ -1760,7 +1776,13 @@ class Executor:
             plan = plans[qi]
             key = plan.tape
             if plan.has_phrase:
-                phrase_groups.setdefault(key, []).append((qi, plan))
+                gk = key
+                if key[0] == "phrase":
+                    # split lazy-phrase groups by per-query C2 bucket: the
+                    # verify cost is C2-proportional, so rare bigrams must
+                    # not share a group (and its max C2) with stopword ones
+                    gk = (key, _phrase_group_c2(df_of, plan, key[1], k))
+                phrase_groups.setdefault(gk, []).append((qi, plan))
             else:
                 # flat boolean shapes share ONE tape-independent program
                 # per (T, B) bucket (structure rides as data) — different
@@ -1838,7 +1860,8 @@ class Executor:
                     jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
                 ]
                 group_meta.append((members, kind, B, None))
-        for key, members in phrase_groups.items():
+        for gk, members in phrase_groups.items():
+            key = gk[0] if isinstance(gk[0], tuple) else gk  # strip C2 part
             prep = (
                 self._prep_phrase_lazy(
                     key, members, k, scorer, model, docs_cnt, df_of

@@ -973,20 +973,60 @@ class MeshExecutor:
             else np.zeros(0, np.uint32)
         )
 
-    def exec_rich(self, query, on_match, **kwargs) -> int:
-        """Default (rich-match) mode over the mesh: per-shard exec_rich in
-        shard order — shards are ascending app-id ranges, so on_match sees
-        globally ascending doc order, exactly like the single-chip driver;
-        AbortSearch from the callback stops the remaining shards (the
-        multi-source contract leaves per-source filters to the caller,
-        exec.h:55-62 — pass a fresh callback per search if you need
-        per-source isolation). Returns total matches delivered."""
+    def exec_rich(self, query, on_match, filter_factory=None, **kwargs) -> int:
+        """Default (rich-match) mode over the mesh: thread-per-shard
+        fan-out (the reference's per-source std::async dispatch,
+        exec.h:86-177) with ORDERED draining — each shard buffers its
+        MatchedDocuments (fresh objects, safe to hold), and the caller
+        thread delivers shard 0's, then shard 1's, ... Shards are
+        ascending app-id ranges, so on_match still sees globally ascending
+        doc order, exactly like the single-chip driver, while later shards
+        evaluate concurrently.
+
+        AbortSearch from on_match stops delivery AND signals still-running
+        shards to cut their enumeration short. filter_factory, if given,
+        is invoked once per shard and must return a dict of per-source
+        exec_rich kwargs (e.g. on_prepare / doc_filter) — the reference's
+        one-filter-instance-per-source contract (exec.h:55-62); kwargs
+        passed directly are shared across shards and must be thread-safe.
+        Returns total matches delivered."""
+        import concurrent.futures as cf
+        import threading
+
+        from trinity_tpu.exec.richmatch import AbortSearch
         from trinity_tpu.exec.richmatch import exec_rich as _exec_rich
 
-        total = 0
-        for src in self._shard_executors():
-            total += _exec_rich(src, query, on_match, **kwargs)
-        return total
+        execs = self._shard_executors()
+        aborted = threading.Event()
+
+        def run_shard(src):
+            buf = []
+
+            def collect(md):
+                if aborted.is_set():
+                    raise AbortSearch()
+                buf.append(md)
+
+            per_src = dict(kwargs)
+            if filter_factory is not None:
+                per_src.update(filter_factory())
+            _exec_rich(src, query, collect, **per_src)
+            return buf
+
+        delivered = 0
+        with cf.ThreadPoolExecutor(max_workers=min(8, len(execs))) as pool:
+            futs = [pool.submit(run_shard, src) for src in execs]
+            for f in futs:
+                if aborted.is_set():
+                    continue  # still await f (pool shutdown joins anyway)
+                for md in f.result():
+                    try:
+                        on_match(md)
+                    except AbortSearch:
+                        aborted.set()
+                        break
+                    delivered += 1
+        return delivered
 
     # ---------------------------------------------------- batched execution
     def _group_cells(self, members, T, B):
@@ -1097,6 +1137,7 @@ class MeshExecutor:
             _flatten_tape,
             _fused_used_slots,
             _pad_T,
+            _phrase_group_c2,
             _pick_bucket,
             _plan_for_text,
         )
@@ -1120,9 +1161,12 @@ class MeshExecutor:
             if root is None:
                 continue
             if plan.has_phrase:
-                phrase_groups.setdefault(plan.tape, []).append(
-                    (qi, plan, root)
-                )
+                gk = plan.tape
+                if gk[0] == "phrase":
+                    # per-query C2 split, same policy as the single-chip
+                    # launch_batch (see executor._phrase_group_c2)
+                    gk = (gk, _phrase_group_c2(df, plan, gk[1], k))
+                phrase_groups.setdefault(gk, []).append((qi, plan, root))
                 continue
             key = plan.tape
             # flat shapes share the tape-independent program (see
@@ -1180,7 +1224,8 @@ class MeshExecutor:
                     jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
                 ]
                 group_meta.append((members, kind, B))
-        for key, members in phrase_groups.items():
+        for gk2, members in phrase_groups.items():
+            key = gk2[0] if isinstance(gk2[0], tuple) else gk2
             prep = (
                 self._prep_mesh_lazyph(key, members, k, model, docs_cnt, df)
                 if key[0] == "phrase"
