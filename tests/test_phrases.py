@@ -137,7 +137,7 @@ def test_verify_phrases_device_matches_host():
     got_chunked = np.asarray(
         verify_phrases_device(hit_pw, hit_off, jnp.asarray(valid),
                               jnp.asarray(freqs), jnp.asarray(offs), fcaps,
-                              chunk_budget=8 * 64 * 8)
+                              vol_budget=8 * 64 * 8)
     )
     np.testing.assert_array_equal(got_chunked, want)
 
@@ -258,7 +258,7 @@ def test_verify_phrases_device_large_fcap_chunked():
         got = np.asarray(
             verify_phrases_device(
                 hit_pw, hit_off, jnp.asarray(valid), jnp.asarray(freqs),
-                jnp.asarray(offs), fcaps, chunk_budget=1,
+                jnp.asarray(offs), fcaps, vol_budget=1,
             )
         )
         np.testing.assert_array_equal(got, want, err_msg=str(fcaps))
@@ -313,7 +313,10 @@ def test_lazy_fused_overflow_fallback(small):
 
     ex, corpus = small
     old = get_config().phrase_lazy_candidates
-    configure(phrase_lazy_candidates=4)
+    old_max = get_config().phrase_lazy_max_candidates
+    # cap AND max: the ladder otherwise keeps growing past the cap until
+    # overflow is impossible (the stopword-bigram lazy path)
+    configure(phrase_lazy_candidates=4, phrase_lazy_max_candidates=4)
     try:
         for qtext in ('"t0 t1"', '"t0 t1" ', '"t2 t2"'):
             q = parse_query(qtext)
@@ -323,5 +326,46 @@ def test_lazy_fused_overflow_fallback(small):
             np.testing.assert_allclose(
                 [r.score for r in got], [s for _, s in want], rtol=2.4e-7, atol=0
             )
+    finally:
+        configure(
+            phrase_lazy_candidates=old, phrase_lazy_max_candidates=old_max
+        )
+
+
+def test_lazy_c2_ladder_extends_past_cap(small):
+    """A phrase whose min-member df exceeds the configured C2 cap stays on
+    the LAZY path (the ladder grows until overflow is impossible) instead
+    of the dense positional fallback — exact parity, zero
+    phrase.dense_fallback increments. Stopword bigrams are the production
+    case (min-df 445k vs cap 8192, r4)."""
+    from trinity_tpu.config import configure, get_config
+    from trinity_tpu.exec.executor import _pick_c2
+    from trinity_tpu.utils.metrics import get_metrics
+
+    # unit: the ladder, at the production cap
+    assert _pick_c2(444_935, 8192, 10) == 524_288
+    assert _pick_c2(1_046_282, 8192, 10) == 1 << 21
+    assert _pick_c2(600, 8192, 10) == 1024  # small rungs unchanged
+
+    ex, corpus = small
+    old = get_config().phrase_lazy_candidates
+    configure(phrase_lazy_candidates=2)  # every phrase exceeds the cap
+    before = get_metrics().snapshot().get("phrase.dense_fallback", {}).get(
+        "value", 0
+    )
+    try:
+        for qtext in ('"t0 t1"', '"t2 t2"', '"t0 t1 t2"'):
+            q = parse_query(qtext)
+            got = ex.search(q, k=10, scorer="bm25")
+            want = oracle_search(corpus, q.root, k=10, scorer="bm25")
+            assert ids(got) == [d for d, _ in want], qtext
+            np.testing.assert_allclose(
+                [r.score for r in got], [s for _, s in want],
+                rtol=2.4e-7, atol=0,
+            )
+        after = get_metrics().snapshot().get(
+            "phrase.dense_fallback", {}
+        ).get("value", 0)
+        assert after == before, "extended ladder must not fall back dense"
     finally:
         configure(phrase_lazy_candidates=old)

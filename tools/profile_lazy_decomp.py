@@ -71,13 +71,17 @@ def main():
     csj, cnj = jnp.asarray(cs), jnp.asarray(cn)
     wts = jnp.asarray(weights)
 
-    def stage(csv, cnv, mode, C2v):
+    def stage(csv, cnv, mode, C2v, hit_pw, hit_off):
+        if mode == "dec_no":
+            tiles = materialize_freq_tiles(
+                bmeta, planes, csv, cnv, n_windows=W, n_terms=B * T,
+                interpret=False, with_offsets=False,
+            )
+            return tiles.sum()
         tiles, offs = materialize_freq_tiles(
             bmeta, planes, csv, cnv, n_windows=W, n_terms=B * T,
-            interpret=False, with_offsets=(mode != "dec_no"),
+            interpret=False, with_offsets=True,
         )
-        if mode == "dec_no":
-            return tiles.sum()
         if mode == "dec_off":
             return tiles.sum() + offs.sum().astype(jnp.float32)
         n = W * WINDOW_SIZE
@@ -106,20 +110,29 @@ def main():
         return gv.sum() + gi.sum().astype(jnp.float32)
 
     def chain(L, mode, C2v):
+        # big arrays ride as ARGUMENTS (like the production programs):
+        # closed-over device arrays embed in the serialized module and
+        # blow the remote-compile request limit (observed HTTP 413)
         @jax.jit
-        def run(csv):
+        def run(csv, cnv, hpw, hoff):
             def body(carry, _):
-                out = stage(carry, cnj, mode, C2v)
+                out = stage(carry, cnv, mode, C2v, hpw, hoff)
                 dep = (out > jnp.float32(1e30)).astype(jnp.int32)
                 return carry + dep, ()
             c, _ = jax.lax.scan(body, csv, None, length=L)
             return c[0, 0]
-        return run
+        return lambda csv: run(csv, cnj, hit_pw, hit_off)
 
-    for mode, C2v in (
+    todo = (
         ("dec_no", C2), ("dec_off", C2), ("sel", C2),
         ("full", C2), ("full", 1024),
-    ):
+    )
+    if len(sys.argv) > 1:  # e.g. "full@8192 full@1024"
+        todo = []
+        for a in sys.argv[1:]:
+            m, c = a.split("@")
+            todo.append((m, int(c)))
+    for mode, C2v in todo:
         label = f"{mode}@{C2v}"
         t0 = time.time()
         r1, r5 = chain(1, mode, C2v), chain(5, mode, C2v)

@@ -25,6 +25,12 @@ class Config:
     term_buckets: tuple = (2, 4, 8, 16, 32, 64, 128)  # kernel term-axis padding
     phrase_candidate_cap: int = 2048  # initial per-window phrase candidates
     phrase_lazy_candidates: int = 8192  # bound-ordered pull (lazy phrase path)
+    # the lazy C2 ladder keeps growing past phrase_lazy_candidates (sparse
+    # x4 rungs) until it covers the group's min-member df, so stopword
+    # bigrams stay on the lazy path (flat device verify) instead of the
+    # dense positional fallback (measured 100-277 ms/query, r4); this
+    # bounds the growth — groups needing more overflow like before
+    phrase_lazy_max_candidates: int = 1 << 21
     rich_candidate_cap: int = 2048  # initial rich-match candidates
     default_k: int = 10
     default_scorer: str = "bm25"

@@ -1096,13 +1096,28 @@ def _build_phrase_batch_fused(
 
 def _pick_c2(total_bound: int, c2_cap: int, k: int) -> int:
     """Smallest lazy-phrase candidate-capacity bucket covering the group's
-    largest min-member df (and k), capped at the configured C2 — shared by
-    the single-chip and mesh lazyph preps so both compile the same variant
-    ladder (warmup coverage keys on C2)."""
+    largest min-member df (and k) — shared by the single-chip and mesh
+    lazyph preps so both compile the same variant ladder (warmup coverage
+    keys on C2).
+
+    Above the configured cap the ladder KEEPS GROWING (sparse power-of-4
+    rungs) instead of conceding to overflow: a C2 >= min-member-df makes
+    overflow impossible, so stopword bigrams stay on the lazy path — the
+    flat device verify scales near-linearly with C2 (bytes/vol-bounded
+    auto-chunking, exec/phrases.py), while the dense positional fallback
+    they previously triggered measured 100-277 ms/query (r4)."""
+    from trinity_tpu.config import get_config
+
     for c2b in (256, 512, 1024, 2048, 4096):
         if total_bound <= c2b <= c2_cap and k <= c2b:
             return c2b
-    return c2_cap
+    if total_bound <= c2_cap:
+        return c2_cap
+    c2_max = get_config().phrase_lazy_max_candidates
+    c2b = max(4 * c2_cap, 256)
+    while c2b < total_bound and c2b * 4 <= max(c2_max, c2_cap):
+        c2b *= 4
+    return min(c2b, max(c2_max, c2_cap))
 
 
 def _phrase_group_c2(df_of, plan, slots, k) -> int:

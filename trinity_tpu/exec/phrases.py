@@ -177,7 +177,8 @@ def verify_phrases_device(
     freqs,
     offs,
     fcaps: Tuple[int, ...],
-    chunk_budget: int = 1 << 26,
+    bytes_budget: int = 1 << 29,
+    vol_budget: int = 1 << 33,
 ):
     """Device twin of verify_phrase_candidates: exact phrase frequency per
     candidate, computed inside the jitted program (no host round-trip).
@@ -190,11 +191,17 @@ def verify_phrases_device(
     their run through the fori window loop (_member_window_hit) — incl.
     member 0, whose anchor windows drive an outer loop so counts stay
     anchored on member 0's positions (exact duplicate-position semantics,
-    docwordspace.cpp:3-15). Candidates chunk through lax.map when the
-    compare volume would exceed chunk_budget elements; chunks whose slots
-    are ALL invalid (candidate arrays are sized for the worst query in the
-    batch — the typical query fills a small docid-ordered prefix) skip the
-    decode+compare entirely via lax.cond."""
+    docwordspace.cpp:3-15). Candidates run FLAT by default: all the
+    per-candidate row gathers must live in ONE gather op so XLA pipelines
+    their DMAs — inside a sequential lax.map each chunk's gathers are
+    latency-bound round trips that cannot overlap across iterations
+    (measured r4, fcaps=(64,64) C2=8192 B=12: 54 chunks at the old 2^26
+    compare-volume budget = ~305 ms of a 342 ms program, ~3.1 us per
+    candidate; the same gathers+compares flat are ~ms-scale). Chunking
+    only kicks in when the flat form would blow live memory (bytes_budget
+    caps decoded lane bytes) or the fused all-pairs compare volume
+    (vol_budget); dead chunks (candidate arrays are sized for the worst
+    query in the batch) still skip decode+compare via lax.cond."""
     import jax
     import jax.numpy as jnp
 
@@ -275,8 +282,13 @@ def verify_phrases_device(
             lambda: jnp.zeros(pfc.shape[:1], jnp.int32),
         )
 
+    # live decoded bytes per candidate (i32 lanes, w0+w1 row pulls ~2x)
+    bytes_per = 8 * sum(_win_lanes(f) for f in fcaps)
+    # fused compare volume per candidate: anchor lanes x widest member
     vol = _win_lanes(fcaps[0]) * max(_win_lanes(f) for f in fcaps[1:])
-    chunk = max(128, chunk_budget // max(1, vol))
+    chunk = max(
+        128, min(bytes_budget // max(1, bytes_per), vol_budget // max(1, vol))
+    )
     if chunk >= n:
         out = live_chunk(pf2, po2)
     else:
