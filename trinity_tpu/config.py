@@ -34,6 +34,16 @@ class Config:
     rich_candidate_cap: int = 2048  # initial rich-match candidates
     default_k: int = 10
     default_scorer: str = "bm25"
+    # hot-term plane cache (ops/fusedscore.py cached slots): terms with
+    # df >= hot_cache_min_df get their dense frequency planes precomputed
+    # once per executor ((W, 128, 128) f32 per term, highest-df first,
+    # bounded by hot_cache_bytes); a cached slot's tile arrives as ONE
+    # (128, 128) DMA instead of the per-(query, window) block decode whose
+    # cost is linear in df (a df~1M term measured ~22 us/window to decode).
+    # 0 bytes disables. Values are the same f32 freqs the decode produces,
+    # so results are bit-identical.
+    hot_cache_bytes: int = 768 << 20
+    hot_cache_min_df: int = 4096
     # host
     use_native: bool = True  # libtrinity_host.so if built
     # HBM residency budget for many-segment serving (exec/residency.py):

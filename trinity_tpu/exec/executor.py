@@ -30,7 +30,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from trinity_tpu.index.format import SegmentData
-from trinity_tpu.limits import WINDOW_SIZE
+from trinity_tpu.limits import TILE, WINDOW_SIZE
 from trinity_tpu.ops.select import gather_cols
 from trinity_tpu.models.similarity import SIMILARITIES
 from trinity_tpu.plan.compile import CompiledPlan, compile_plan
@@ -209,9 +209,11 @@ def _build_fused_fn(tape, scorer_name, W, T, B, k, interpret):
     jax, jnp = _lazy_jax()
     from trinity_tpu.ops.fusedscore import exact_window_topk, fused_score_tiles
 
-    def run(bmeta, planes, cs, cn, weights, n_docs, deleted):
+    def run(bmeta, planes, tfp, cs, cn, weights, cids, n_docs, deleted):
+        # cached slots must not ALSO decode (their tile arrives by DMA)
+        cn = cn * (cids[None, :] < 0)
         scores, rmax = fused_score_tiles(
-            bmeta, planes, cs, cn, weights, n_docs, deleted,
+            bmeta, planes, cs, cn, weights, cids, tfp, n_docs, deleted,
             tape=tape, scorer_name=scorer_name, n_windows=W, n_terms=T,
             batch=B, interpret=interpret,
         )
@@ -356,11 +358,14 @@ def _build_flat_fn(scorer_name, W, T, B, k, interpret):
         fused_flat_score_tiles,
     )
 
-    def run(bmeta, planes, cs, cn, wts, flags, kmin, n_docs, deleted):
+    def run(bmeta, planes, tfp, cs, cn, wts, flags, kmin, cids, n_docs,
+            deleted):
+        # cached slots must not ALSO decode (their tile arrives by DMA)
+        cn = cn * (cids[None, :] < 0)
         scores, rmax = fused_flat_score_tiles(
-            bmeta, planes, cs, cn, wts, flags, kmin, n_docs, deleted,
-            scorer_name=scorer_name, n_windows=W, n_terms=T, batch=B,
-            interpret=interpret,
+            bmeta, planes, cs, cn, wts, flags, kmin, cids, tfp, n_docs,
+            deleted, scorer_name=scorer_name, n_windows=W, n_terms=T,
+            batch=B, interpret=interpret,
         )
         return exact_window_topk(scores, rmax, k)
 
@@ -422,7 +427,8 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
     ("dense", tape, T, B) | ("lazyph", slots, T, B, C2, fcaps,
     no_overflow). Row layout: B rows gv, B rows gi, (+ B rows
     resolved-flag for lazyph). Input arity per entry: 3 arrays (cs, cn,
-    wts) — flat entries take 5 (cs, cn, wts, flags, kmin)."""
+    wts) — fused entries take 4 (+ cids), flat entries 6 (cs, cn, wts,
+    flags, kmin, cids)."""
     jax, jnp = _lazy_jax()
     fns = []
     for ent in spec:
@@ -444,22 +450,25 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
                 )
             )
 
-    def run(bmeta, planes, hit_pw, hit_off, n_docs, deleted_tiles,
+    def run(bmeta, planes, tfp, hit_pw, hit_off, n_docs, deleted_tiles,
             deleted_flat, *flat):
         rows = []
         off = 0
         for ent, fn in zip(spec, fns):
-            nargs = 5 if ent[0] == "flat" else 3
+            nargs = {"flat": 6, "fused": 4}.get(ent[0], 3)
             gargs = flat[off : off + nargs]
             off += nargs
             if ent[0] == "fused":
-                cs, cn, wts = gargs
-                gv, gidx = fn(bmeta, planes, cs, cn, wts, n_docs, deleted_tiles)
-            elif ent[0] == "flat":
-                cs, cn, wts, gflags, gkmin = gargs
+                cs, cn, wts, cids = gargs
                 gv, gidx = fn(
-                    bmeta, planes, cs, cn, wts, gflags, gkmin, n_docs,
+                    bmeta, planes, tfp, cs, cn, wts, cids, n_docs,
                     deleted_tiles,
+                )
+            elif ent[0] == "flat":
+                cs, cn, wts, gflags, gkmin, cids = gargs
+                gv, gidx = fn(
+                    bmeta, planes, tfp, cs, cn, wts, gflags, gkmin, cids,
+                    n_docs, deleted_tiles,
                 )
             elif ent[0] == "dense":
                 cs, cn, wts = gargs
@@ -1240,6 +1249,24 @@ class Executor:
         self._deleted = None  # optional bool (W*WINDOW,) mask of masked docs
         self._deleted_np = None  # host copy for lazy phrase verification
         self._deleted_tiles = None  # (W, 128, 128) f32 form (fused kernel)
+        # hot-term plane cache: highest-df terms above the configured df
+        # floor, within the byte budget (config.hot_cache_bytes). Planes
+        # materialize lazily at the first batch that could use them (so
+        # warmup builds them before the program seal); values come from
+        # the same decode kernel, so cached results are bit-identical.
+        from trinity_tpu.config import get_config
+
+        cfg = get_config()
+        self._hot: dict = {}
+        self._tf_planes = None
+        if cfg.hot_cache_bytes > 0 and seg.n_terms > 0:
+            per = seg.n_windows * (TILE * TILE * 4)
+            cap = int(cfg.hot_cache_bytes // per)
+            if cap > 0:
+                df = np.asarray(seg.term_df)
+                order = np.argsort(-df, kind="stable")
+                order = order[df[order] >= cfg.hot_cache_min_df][:cap]
+                self._hot = {int(t): i for i, t in enumerate(order)}
 
     # ------------------------------------------------- device residency
     def _upload(self) -> None:
@@ -1281,6 +1308,60 @@ class Executor:
     @property
     def hit_off(self):
         return self._residency.ensure(self)["hit_off"]
+
+    # -------------------------------------------------- hot-term plane cache
+    @property
+    def tf_planes(self):
+        """(C, W, 128, 128) f32 cached frequency planes for the hot-term
+        map built at __init__ (a (1, 1, 128, 128) zero dummy while empty /
+        disabled — the kernels never read it when every cid is -1)."""
+        if self._tf_planes is None:
+            self._ensure_tf_planes()
+        return self._tf_planes
+
+    def _ensure_tf_planes(self):
+        jax, jnp = _lazy_jax()
+        if self._tf_planes is not None:
+            return
+        if not self._hot:
+            with jax.ensure_compile_time_eval():
+                self._tf_planes = jnp.zeros((1, 1, TILE, TILE), jnp.float32)
+            return
+        from trinity_tpu.ops.postings import (
+            compute_cells, materialize_freq_tiles,
+        )
+
+        seg = self.seg
+        W = seg.n_windows
+        order = sorted(self._hot, key=self._hot.get)
+        CH = 8  # terms per materialize call (bounds the per-call tile HBM)
+        mat = jax.jit(
+            functools.partial(
+                materialize_freq_tiles, n_windows=W, n_terms=CH,
+                interpret=self.interpret,
+            )
+        )
+        chunks = []
+        for i in range(0, len(order), CH):
+            tids = order[i : i + CH]
+            tids = tids + [-1] * (CH - len(tids))
+            cs, cn = compute_cells(seg, tids)
+            # same decode kernel the serving programs run -> identical f32
+            tiles = mat(self.bmeta, self.planes, cs, cn)  # (W, CH, 128, 128)
+            chunks.append(tiles.transpose(1, 0, 2, 3))
+        planes = jnp.concatenate(chunks)[: len(order)]
+        self._tf_planes = jax.block_until_ready(planes)
+        # not folded into device_bytes: the residency manager's budget
+        # covers the EVICTABLE segment arrays; these planes are a derived
+        # cache pinned for the executor's lifetime (hot_cache_bytes bounds
+        # them separately)
+
+    def _cids_for(self, tids, T: int) -> np.ndarray:
+        """Per-slot hot-cache plane ids (length T, -1 = decode)."""
+        out = np.full(T, -1, np.int32)
+        for s, tid in enumerate(tids):
+            out[s] = self._hot.get(int(tid), -1)
+        return out
 
     # ------------------------------------------------------------ plumbing
     def set_masked_local_docs(self, local_ids: Optional[np.ndarray]):
@@ -1339,6 +1420,11 @@ class Executor:
         pending device arrays. Prefers the fused score kernel."""
         seg = self.seg
         T = _pad_T(plan.n_slots)
+        cids = np.full(T, -1, np.int32)
+        if self._hot:
+            cids[: plan.n_slots] = self._cids_for(
+                [seg.term_id(t) for t in plan.term_texts], plan.n_slots
+            )
         flat = (
             _flatten_tape(plan.tape, plan.n_slots)
             if USE_FLAT and T <= FUSED_MAX_SLOTS
@@ -1357,9 +1443,9 @@ class Executor:
                     wflat[0, s] = wnp[wsel[s]]
             fn = _build_flat_fn(scorer, seg.n_windows, T, 1, k, self.interpret)
             gv, gi = fn(
-                self.bmeta, self.planes, cs, cn, wflat, gflags,
-                np.array([km], np.int32), np.int32(seg.n_docs),
-                self._deleted_tiles,
+                self.bmeta, self.planes, self.tf_planes, cs, cn, wflat,
+                gflags, np.array([km], np.int32), cids,
+                np.int32(seg.n_docs), self._deleted_tiles,
             )
             return gv[0], gi[0]
         used = _fused_used_slots(plan.tape)
@@ -1369,8 +1455,9 @@ class Executor:
                 self.interpret,
             )
             gv, gi = fn(
-                self.bmeta, self.planes, cs, cn, weights[None, :],
-                np.int32(seg.n_docs), self._deleted_tiles,
+                self.bmeta, self.planes, self.tf_planes, cs, cn,
+                weights[None, :], cids, np.int32(seg.n_docs),
+                self._deleted_tiles,
             )
             return gv[0], gi[0]
         fn = _build_search_fn(
@@ -1832,6 +1919,7 @@ class Executor:
             B = _pick_bucket(buckets, len(members))
             cs = np.zeros((seg.n_windows, B * T), np.int32)
             cn = np.zeros((seg.n_windows, B * T), np.int32)
+            cids = np.full(B * T, -1, np.int32)
             if is_flat:
                 # per-SLOT weights + structure-as-data (flags, kmin); pad
                 # rows get kmin = T+1 so they match nothing (NEG_INF rows)
@@ -1846,6 +1934,9 @@ class Executor:
                 c_s, c_n = compute_cells(seg, tids)
                 cs[:, bi * T : bi * T + plan.n_slots] = c_s
                 cn[:, bi * T : bi * T + plan.n_slots] = c_n
+                cids[bi * T : bi * T + plan.n_slots] = self._cids_for(
+                    tids, plan.n_slots
+                )
                 wrow = [
                     model.weight([df_of(t) for t in terms], docs_cnt)
                     for terms in plan.weight_terms
@@ -1864,6 +1955,7 @@ class Executor:
                 flat_inputs += [
                     jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights),
                     jnp.asarray(gflags), jnp.asarray(gkmin),
+                    jnp.asarray(cids),
                 ]
                 group_meta.append((members, "flat", B, None))
             else:
@@ -1874,6 +1966,8 @@ class Executor:
                 flat_inputs += [
                     jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
                 ]
+                if kind == "fused":
+                    flat_inputs.append(jnp.asarray(cids))
                 group_meta.append((members, kind, B, None))
         for gk, members in phrase_groups.items():
             key = gk[0] if isinstance(gk[0], tuple) else gk  # strip C2 part
@@ -1902,7 +1996,7 @@ class Executor:
                 tuple(spec_entries), scorer, seg.n_windows, k, self.interpret
             )
             packed_dev = fn(  # async dispatch — no blocking here
-                self.bmeta, self.planes, self.hit_pw,
+                self.bmeta, self.planes, self.tf_planes, self.hit_pw,
                 self.hit_off, np.int32(seg.n_docs),
                 self._deleted_tiles, self._deleted, *flat_inputs,
             )

@@ -192,22 +192,51 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
 
     def kernel(cs_ref, cn_ref, wbase_ref, nd_ref, wts_ref, *pre_rest):
         if flat:
-            flags_ref, kmin_ref, bmeta_ref, planes_ref = pre_rest[:4]
-            rest = pre_rest[4:]
+            flags_ref, kmin_ref, cids_ref = pre_rest[:3]
+            bmeta_ref, planes_ref, tfp_ref = pre_rest[3:6]
+            rest = pre_rest[6:]
         else:
             flags_ref = kmin_ref = None
-            bmeta_ref, planes_ref = pre_rest[:2]
-            rest = pre_rest[2:]
+            cids_ref = pre_rest[0]
+            bmeta_ref, planes_ref, tfp_ref = pre_rest[1:4]
+            rest = pre_rest[4:]
         if with_deleted:
             del_ref = rest[0]
             rest = rest[1:]
         else:
             del_ref = None
-        out_ref, rmax_ref, tiles_s, metas_s, rowss_s, sems = rest
+        out_ref, rmax_ref, tiles_s, metas_s, rowss_s, sems, csems = rest
         w = pl.program_id(0)
         bg = pl.program_id(1)
         nW = pl.num_programs(0)
         wbase = wbase_ref[w] * WINDOW_SIZE
+
+        # hot-term plane cache: slots with cids_ref[b*T+t] >= 0 take their
+        # freq tile as ONE (128, 128) DMA from the precomputed tf planes
+        # (f32 values identical to a decode of the same blocks — built by
+        # materialize_freq_tiles) instead of the per-cell decode chain
+        # (~3.3 us fixed + ~0.15 us/block: a df~1M term costs ~22 us per
+        # (query, window) to decode but ~64 KiB of HBM reads to stream).
+        # Copies are issued before the decode DMAs so they overlap the
+        # whole decode chain + compute; waits sit just before tape eval.
+        def cids_at(bg_):
+            return [
+                cids_ref[(bg_ * QG + qg) * T + t]
+                for qg in range(QG)
+                for t in used
+            ]
+
+        cids = cids_at(bg)
+
+        def cached_copy(ui, cid):
+            return pltpu.make_async_copy(
+                tfp_ref.at[cid, wbase_ref[w]], tiles_s.at[ui], csems.at[ui]
+            )
+
+        for ui, cid in enumerate(cids):
+            @pl.when(cid >= 0)
+            def _(ui=ui, cid=cid):
+                cached_copy(ui, cid).start()
         # cross-grid-step double-buffered decode of ALL QG queries' used
         # slots: QG cells per wave divides the per-decode DMA fixed cost
         # (~3.3 us measured), and the two-bank scratch prefetches the NEXT
@@ -225,12 +254,13 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
                 for t in used
             ]
 
+        keep = [cid >= 0 for cid in cids]
         if not USE_DBUF:
             _decode_cells_pipelined(
                 bmeta_ref, planes_ref,
                 [tiles_s.at[ci] for ci in range(QG * U)],
                 metas_s.at[0], rowss_s.at[0], sems.at[0],
-                cells_at(w, bg), wbase, group,
+                cells_at(w, bg), wbase, group, keep=keep,
             )
         else:
             step, last, w2, bg2 = dbuf_step(w, bg, nW, nBG)
@@ -239,7 +269,12 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
                 [tiles_s.at[ci] for ci in range(QG * U)],
                 metas_s, rowss_s, sems,
                 cells_at(w, bg), cells_at(w2, bg2), step, last, wbase, group,
+                keep=keep,
             )
+        for ui, cid in enumerate(cids):
+            @pl.when(cid >= 0)
+            def _(ui=ui, cid=cid):
+                cached_copy(ui, cid).wait()
         # local docid of tile[h, l] is h*128 + l (docid-major layout)
         lid = (
             jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) * TILE
@@ -280,13 +315,17 @@ def _make_score_kernel(tape, used, scorer_name, T, group, with_deleted, QG,
 
 
 def _call_score_kernel(
-    kernel, W, B, QG, nc, prefetch, bmeta, planes, deleted, interpret
+    kernel, W, B, QG, nc, prefetch, bmeta, planes, tf_planes, deleted,
+    interpret
 ):
     """Shared pallas_call wrapper for the tape and flat fused kernels:
     identical BlockSpecs, double-banked decode scratch, and output pair —
     only the kernel body and the scalar-prefetch operands differ (the flat
-    kernel adds flags/kmin). nc = decoded cells per grid step."""
+    kernel adds flags/kmin). nc = decoded cells per grid step. tf_planes
+    (C, W_seg, 128, 128) f32 backs the hot-term plane cache (a (1, 1, 128,
+    128) dummy when the executor has no cached terms)."""
     in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -312,9 +351,11 @@ def _call_score_kernel(
             ),
             pltpu.VMEM((2, nc, ROWS_FIXED, TILE), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, 2 * nc)),
+            # one DMA semaphore per cell for the hot-term plane copies
+            pltpu.SemaphoreType.DMA((nc,)),
         ],
     )
-    args = list(prefetch) + [bmeta, planes]
+    args = list(prefetch) + [bmeta, planes, tf_planes]
     if deleted is not None:
         args.append(deleted)
     return pl.pallas_call(
@@ -340,6 +381,8 @@ def fused_score_tiles(
     cell_start,  # (W, B*T) i32
     cell_nblocks,  # (W, B*T) i32
     weights,  # (B, NW) f32
+    cids,  # (B*T,) i32 hot-cache plane ids (-1 = decode; cell_nblocks 0)
+    tf_planes,  # (C, W_seg, 128, 128) f32 cached freq planes (or dummy)
     n_docs,  # () i32
     deleted,  # (W, 128, 128) f32 (1.0 = masked) or None
     *,
@@ -363,8 +406,9 @@ def fused_score_tiles(
     nd = jnp.asarray(n_docs, jnp.int32).reshape(1)
     return _call_score_kernel(
         kernel, W, B, QG, max(1, QG * len(used)),
-        (cell_start, cell_nblocks, wbase, nd, weights),
-        bmeta, planes, deleted, interpret,
+        (cell_start, cell_nblocks, wbase, nd, weights,
+         jnp.asarray(cids, jnp.int32)),
+        bmeta, planes, tf_planes, deleted, interpret,
     )
 
 
@@ -382,6 +426,8 @@ def fused_flat_score_tiles(
     weights,  # (B, T) f32 — PER-SLOT weights (widx resolved on host)
     flags,  # (B, T) i32 — per-slot 1=required 2=negated 4=optional
     kmin,  # (B,) i32 — min required-present count (pad rows: T+1)
+    cids,  # (B*T,) i32 hot-cache plane ids (-1 = decode; cell_nblocks 0)
+    tf_planes,  # (C, W_seg, 128, 128) f32 cached freq planes (or dummy)
     n_docs,  # () i32
     deleted,  # (W, 128, 128) f32 (1.0 = masked) or None
     *,
@@ -408,8 +454,9 @@ def fused_flat_score_tiles(
     return _call_score_kernel(
         kernel, W, B, QG, max(1, QG * T),
         (cell_start, cell_nblocks, wbase, nd, weights,
-         jnp.asarray(flags, jnp.int32), jnp.asarray(kmin, jnp.int32)),
-        bmeta, planes, deleted, interpret,
+         jnp.asarray(flags, jnp.int32), jnp.asarray(kmin, jnp.int32),
+         jnp.asarray(cids, jnp.int32)),
+        bmeta, planes, tf_planes, deleted, interpret,
     )
 
 

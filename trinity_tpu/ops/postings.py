@@ -211,14 +211,16 @@ def _wait_planes_dma(planes_ref, rows_s, sem, r0):
 
 def _decode_cells_pipelined(
     bmeta_ref, planes_ref, tile_refs, metas_s, rowss_s, sems, cells, wbase,
-    GROUP, off_refs=None,
+    GROUP, off_refs=None, keep=None,
 ):
     """Decode U cells with software-pipelined DMAs: ALL meta copies go into
     flight first, then all plane copies, then the decodes — 2 overlapped
     DMA rounds total instead of 2*U serialized round trips (the dominant
     per-decode cost; see _start_planes_dma). cells = [(b0, n), ...];
     tile_refs[ui] receives cell ui's freq tile (off_refs[ui], when given,
-    its hits-offset tile)."""
+    its hits-offset tile). keep[ui] (scalar bool, optional) suppresses the
+    empty-cell zero store: the caller is filling that tile itself (the
+    hot-term plane cache DMAs directly into it, ops/fusedscore.py)."""
     metas = []
     for ui, (b0, n) in enumerate(cells):
         @pl.when(n > 0)
@@ -238,7 +240,9 @@ def _decode_cells_pipelined(
     for ui, (b0, n) in enumerate(cells):
         # zero only EMPTY cells: non-empty ones are fully overwritten by
         # the decode, so the unconditional zero store was a dead write
-        @pl.when(n == 0)
+        empty = (n == 0) if keep is None else ((n == 0) & ~keep[ui])
+
+        @pl.when(empty)
         def _(ui=ui):
             tile_refs[ui][...] = jnp.zeros(tile_refs[ui].shape, jnp.float32)
             if off_refs is not None:
@@ -262,6 +266,7 @@ def _decode_cells_pipelined(
 def _decode_cells_dbuf(
     bmeta_ref, planes_ref, tile_refs, metas_s, rowss_s, sems,
     cur_cells, nxt_cells, step, last_step, wbase, GROUP, off_refs=None,
+    keep=None,
 ):
     """Cross-grid-step DOUBLE-BUFFERED decode of U cells.
 
@@ -325,8 +330,11 @@ def _decode_cells_dbuf(
     def decode_cell(ui, b0, n):
         meta = _meta_accessor(metas_s.at[p, ui], b0)
 
-        # zero only EMPTY cells (non-empty are fully overwritten below)
-        @pl.when(n == 0)
+        # zero only EMPTY cells (non-empty are fully overwritten below;
+        # keep[ui] cells are being filled by the caller's plane-cache DMA)
+        empty = (n == 0) if keep is None else ((n == 0) & ~keep[ui])
+
+        @pl.when(empty)
         def _():
             tile_refs[ui][...] = jnp.zeros(tile_refs[ui].shape, jnp.float32)
             if off_refs is not None:

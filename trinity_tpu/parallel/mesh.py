@@ -433,6 +433,11 @@ def _build_mesh_batch_combined(
             if deleted is not None
             else None
         )
+        # the sharded program runs the hot-term plane cache DISABLED (all
+        # cids -1 + a zero dummy): per-shard plane caches live in the
+        # per-shard executors' host-driven paths; sharding the plane
+        # arrays through shard_map is deliberately out of scope here
+        tfp0 = jnp.zeros((1, 1, TILE, TILE), jnp.float32)
         rows = []
         off = 0
         for ent, fn in zip(spec, fns):
@@ -441,15 +446,17 @@ def _build_mesh_batch_combined(
             off += nargs
             if ent[0] == "fused":
                 cs, cn, wts = gargs
+                nocache = jnp.full((cs.shape[-1],), -1, jnp.int32)
                 gv, gidx = fn(
-                    bmeta[0], planes[0], cs[0], cn[0], wts, n_docs[0],
-                    deleted_tiles,
+                    bmeta[0], planes[0], tfp0, cs[0], cn[0], wts, nocache,
+                    n_docs[0], deleted_tiles,
                 )
             elif ent[0] == "flat":
                 cs, cn, wts, gflags, gkmin = gargs
+                nocache = jnp.full((cs.shape[-1],), -1, jnp.int32)
                 gv, gidx = fn(
-                    bmeta[0], planes[0], cs[0], cn[0], wts, gflags, gkmin,
-                    n_docs[0], deleted_tiles,
+                    bmeta[0], planes[0], tfp0, cs[0], cn[0], wts, gflags,
+                    gkmin, nocache, n_docs[0], deleted_tiles,
                 )
             elif ent[0] == "dense":
                 cs, cn, wts = gargs
