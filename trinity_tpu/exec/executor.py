@@ -1259,6 +1259,7 @@ class Executor:
         cfg = get_config()
         self._hot: dict = {}
         self._tf_planes = None
+        self._tf_lock = threading.Lock()
         if cfg.hot_cache_bytes > 0 and seg.n_terms > 0:
             per = seg.n_windows * (TILE * TILE * 4)
             cap = int(cfg.hot_cache_bytes // per)
@@ -1320,6 +1321,16 @@ class Executor:
         return self._tf_planes
 
     def _ensure_tf_planes(self):
+        jax, jnp = _lazy_jax()
+        if self._tf_planes is not None:
+            return
+        with self._tf_lock:
+            self._ensure_tf_planes_locked()
+
+    def _ensure_tf_planes_locked(self):
+        """Build under _tf_lock: warmup fans search() across a thread pool,
+        and an unlocked build raced N threads into N concurrent full plane
+        materializations (N x hot_cache_bytes transient HBM = OOM)."""
         jax, jnp = _lazy_jax()
         if self._tf_planes is not None:
             return
