@@ -44,6 +44,24 @@ class Config:
     # so results are bit-identical.
     hot_cache_bytes: int = 768 << 20
     hot_cache_min_df: int = 4096
+    # dense positional-presence phrase path (ops/posmask.py): per-doc
+    # position BITMASKS (PW u32 words) let phrase frequency be computed as
+    # popcount(AND of member masks shifted by their phrase offset) — an
+    # exact dense evaluation whose per-query cost is O(n_docs * PW)
+    # elementwise work plus a scatter linear in the members' postings,
+    # instead of the candidate ladder's O(min_df * fcap^2) gather/verify
+    # (the r4 bench measured stopword bigrams at ~22 ms/query on the
+    # ladder). Applies when the segment's max position < 32*posmask_max_words
+    # and its positions are distinct per (term, doc) — else the ladder runs.
+    use_posmask: bool = True
+    posmask_max_words: int = 4  # PW cap: positions < 32*PW use the path
+    # posmask hot cache: terms with df >= posmask_min_df get their position
+    # bitmask planes ((W, PW, 128, 128) i32 per term) precomputed once per
+    # executor, bounded by posmask_cache_bytes — a cached member skips the
+    # per-query scatter entirely (a df~1M member's scatter measures ~ms-
+    # scale; its cached planes stream at HBM bandwidth). 0 disables.
+    posmask_cache_bytes: int = 1 << 30
+    posmask_min_df: int = 32768
     # host
     use_native: bool = True  # libtrinity_host.so if built
     # HBM residency budget for many-segment serving (exec/residency.py):

@@ -105,6 +105,15 @@ def _lazy_jax():
     return jax, jnp
 
 
+@functools.lru_cache(maxsize=1)
+def _pos_dummy():
+    """Stable placeholder for the posmask-cache operand of combined batch
+    programs that contain no cache-reading posph entry."""
+    jax, jnp = _lazy_jax()
+    with jax.ensure_compile_time_eval():
+        return jnp.zeros((1, 1, 1, 1, 1), jnp.int32)
+
+
 @functools.lru_cache(maxsize=8192)
 def _plan_for_text(qtext: str):
     """Parse + normalize + compile, cached by query text. The reference
@@ -425,10 +434,11 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
 
     spec entries: ("fused", tape, T, B) | ("flat", T, B) |
     ("dense", tape, T, B) | ("lazyph", slots, T, B, C2, fcaps,
-    no_overflow). Row layout: B rows gv, B rows gi, (+ B rows
-    resolved-flag for lazyph). Input arity per entry: 3 arrays (cs, cn,
-    wts) — fused entries take 4 (+ cids), flat entries 6 (cs, cn, wts,
-    flags, kmin, cids)."""
+    no_overflow) | ("posph", K, M, B, PW, rpos, goffr, cached). Row layout:
+    B rows gv, B rows gi, (+ B rows resolved-flag for lazyph). Input arity
+    per entry: 3 arrays (cs, cn, wts) — fused entries take 4 (+ cids), flat
+    entries 6 (cs, cn, wts, flags, kmin, cids), posph entries 8 (cs, cn,
+    dpr, ppr, gor, memidx, cidx, wts)."""
     jax, jnp = _lazy_jax()
     fns = []
     for ent in spec:
@@ -441,6 +451,14 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
         elif ent[0] == "dense":
             _, tape, T, B = ent
             fns.append(_build_batch_fn(tape, scorer_name, W, T, B, k, interpret))
+        elif ent[0] == "posph":
+            _, K, M, B, PW, rpos, goffr, cached = ent
+            fns.append(
+                _build_phrase_pos_fused(
+                    K, W, M, B, PW, rpos, goffr, cached, scorer_name, k,
+                    interpret,
+                )
+            )
         else:
             _, slots, T, B, C2, fcaps, noov = ent
             fns.append(
@@ -450,12 +468,12 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
                 )
             )
 
-    def run(bmeta, planes, tfp, hit_pw, hit_off, n_docs, deleted_tiles,
-            deleted_flat, *flat):
+    def run(bmeta, planes, tfp, hit_pw, hit_off, hit_goff, pplanes, n_docs,
+            deleted_tiles, deleted_flat, *flat):
         rows = []
         off = 0
         for ent, fn in zip(spec, fns):
-            nargs = {"flat": 6, "fused": 4}.get(ent[0], 3)
+            nargs = {"flat": 6, "fused": 4, "posph": 8}.get(ent[0], 3)
             gargs = flat[off : off + nargs]
             off += nargs
             if ent[0] == "fused":
@@ -473,6 +491,12 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
             elif ent[0] == "dense":
                 cs, cn, wts = gargs
                 gv, gidx = fn(bmeta, planes, cs, cn, wts, n_docs, deleted_flat)
+            elif ent[0] == "posph":
+                cs, cn, dpr, ppr, gor, memidx, cidx, wts = gargs
+                gv, gidx = fn(
+                    bmeta, planes, hit_pw, hit_goff, pplanes, cs, cn, dpr,
+                    ppr, gor, memidx, cidx, wts, n_docs, deleted_flat,
+                )
             else:
                 cs, cn, wts = gargs
                 gv, gidx, res = fn(
@@ -805,6 +829,65 @@ def _build_phrase_lazy_fused(
         return gv, gi, resolved
 
     return aot_jit(run, "_build_phrase_lazy_fused", slots, W, T, B, C2, fcaps, scorer_name, k, interpret, no_overflow)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_phrase_pos_fused(K, W, M, B, PW, rpos, goffr, cached, scorer_name,
+                            k, interpret):
+    """Dense positional-bitmask phrase execution (ops/posmask.py): ONE
+    device program scatters each UNIQUE member term's per-doc position
+    bitmask over all windows, then computes every query's exact phrase
+    frequency for EVERY doc as popcount(AND of member masks shifted by
+    their phrase offset), scores, and selects top-k with the same two-phase
+    exact selection as the boolean paths. No candidate ladder, no
+    resolution flag — the evaluation is exhaustive and exact, and its cost
+    is O(members' postings) scatter + O(n_docs * PW) elementwise work
+    (the reference's per-doc DocWordsSpace adjacency test,
+    docwordspace.h:58-127, vectorized over the corpus)."""
+    jax, jnp = _lazy_jax()
+    from trinity_tpu.ops.fusedscore import NSUB, exact_window_topk
+    from trinity_tpu.ops.posmask import (
+        materialize_posmask_tiles,
+        phrase_freq_from_masks,
+    )
+
+    scorer_cls = SIMILARITIES[scorer_name]
+
+    def run(bmeta, planes, hit_pw, hit_goff, pplanes, cs, cn, dpr, ppr, gor,
+            memidx, cidx, weights, n_docs, deleted):
+        masks = materialize_posmask_tiles(
+            bmeta, planes, hit_pw, hit_goff, cs, cn, dpr, ppr, gor,
+            n_windows=W, n_members=M, pw_words=PW, rpos_rows=rpos,
+            goff_rows=goffr, interpret=interpret,
+        )  # (W, M, PW, 128, 128) i32
+        if cached:
+            # cached members scattered ZERO tiles (cn forced 0); overlay
+            # their precomputed planes from the hot posmask cache
+            cm = jnp.take(pplanes, jnp.clip(cidx, 0), axis=1)
+            masks = jnp.where(
+                (cidx >= 0)[None, :, None, None, None], cm, masks
+            )
+        dead = (
+            None if deleted is None else deleted.reshape(W, TILE, TILE)
+        )
+        scores = []
+        for b in range(B):
+            mm = jnp.moveaxis(
+                jnp.take(masks, memidx[b], axis=1), 1, 0
+            )  # (K, W, PW, 128, 128)
+            freq = phrase_freq_from_masks(mm, K, PW)  # (W, 128, 128) i32
+            live = freq > 0
+            if dead is not None:
+                live = live & ~dead
+            sc = scorer_cls.score_tile(freq.astype(jnp.float32), weights[b])
+            scores.append(jnp.where(live, sc, NEG_INF))
+        scores = jnp.stack(scores)  # (B, W, 128, 128)
+        sbmax = scores.reshape(B, W, NSUB, (TILE // NSUB) * TILE).max(axis=3)
+        rmax = jnp.broadcast_to(sbmax[..., None], (B, W, NSUB, TILE))
+        return exact_window_topk(scores, rmax, k)
+
+    return aot_jit(run, "_build_phrase_pos_fused", K, W, M, B, PW, rpos,
+                   goffr, cached, scorer_name, k, interpret)
 
 
 @functools.lru_cache(maxsize=256)
@@ -1227,18 +1310,28 @@ class Executor:
         # properties, which touch the LRU and re-upload after eviction.
         self._bmeta_h = pack_block_meta(seg)
         self._planes_h = pad_planes(seg.planes)
-        # plane-packed positions stream (one trailing zero guard row for
-        # the fused phrase verifier's word-pair read)
+        # plane-packed positions stream, padded so the posmask kernel's
+        # fixed-size per-cell DMAs stay in bounds (also covers the fused
+        # phrase verifier's word-pair guard read)
+        from trinity_tpu.ops.posmask import GOFF_GUARD_ROWS, POS_GUARD_ROWS
+
         hp = np.ascontiguousarray(seg.hit_planes, dtype=np.uint32)
         self._hit_pw_h = np.vstack(
-            [hp.reshape(-1, 128), np.zeros((1, 128), np.uint32)]
+            [hp.reshape(-1, 128), np.zeros((POS_GUARD_ROWS, 128), np.uint32)]
         )
         self._hit_off_h = seg.hit_group_off.astype(np.int32)
+        # group offsets as 128-lane rows (the posmask kernel DMAs them to
+        # SMEM; dynamic-offset DMAs need 128-wide rows)
+        goff_rows = -(-len(self._hit_off_h) // 128) + GOFF_GUARD_ROWS
+        gr = np.zeros(goff_rows * 128, np.int32)
+        gr[: len(self._hit_off_h)] = self._hit_off_h
+        self._hit_goff_h = gr.reshape(-1, 128)
         self.device_bytes = (
             self._bmeta_h.nbytes
             + self._planes_h.nbytes
             + self._hit_pw_h.nbytes
             + self._hit_off_h.nbytes
+            + self._hit_goff_h.nbytes
         )
         self._dev: Optional[dict] = None
         self._upload_lock = threading.Lock()  # serializes _upload per executor
@@ -1257,6 +1350,16 @@ class Executor:
         from trinity_tpu.config import get_config
 
         cfg = get_config()
+        # dense positional-bitmask phrase path gate (ops/posmask.py): the
+        # segment's max position must fit the word budget and its positions
+        # must be distinct per (term, doc) — else popcount != the anchored
+        # multiplicity count and the candidate ladder runs instead
+        self._pw_words = max(1, -(-(seg.max_position + 1) // 32))
+        self._posmask_enabled = bool(
+            cfg.use_posmask
+            and seg.positions_distinct
+            and self._pw_words <= cfg.posmask_max_words
+        )
         self._hot: dict = {}
         self._tf_planes = None
         self._tf_lock = threading.Lock()
@@ -1268,6 +1371,26 @@ class Executor:
                 order = np.argsort(-df, kind="stable")
                 order = order[df[order] >= cfg.hot_cache_min_df][:cap]
                 self._hot = {int(t): i for i, t in enumerate(order)}
+        # posmask hot cache: highest-df terms' position-bitmask planes,
+        # built ONCE per executor (they are query-independent) — a cached
+        # phrase member skips the per-query scatter, whose cost is linear
+        # in the member's postings (a df~1M member measures ~tens of ms to
+        # scatter but streams at HBM bandwidth once cached)
+        self._pos_hot: dict = {}
+        self._pos_planes = None
+        self._pos_lock = threading.Lock()
+        if (
+            self._posmask_enabled
+            and cfg.posmask_cache_bytes > 0
+            and seg.n_terms > 0
+        ):
+            per = seg.n_windows * self._pw_words * (TILE * TILE * 4)
+            cap = int(cfg.posmask_cache_bytes // per)
+            if cap > 0:
+                df = np.asarray(seg.term_df)
+                order = np.argsort(-df, kind="stable")
+                order = order[df[order] >= cfg.posmask_min_df][:cap]
+                self._pos_hot = {int(t): i for i, t in enumerate(order)}
 
     # ------------------------------------------------- device residency
     def _upload(self) -> None:
@@ -1282,6 +1405,7 @@ class Executor:
                 "planes": jnp.asarray(self._planes_h),
                 "hit_pw": jnp.asarray(self._hit_pw_h),
                 "hit_off": jnp.asarray(self._hit_off_h),
+                "hit_goff": jnp.asarray(self._hit_goff_h),
             }
 
     def _drop_device(self) -> None:
@@ -1309,6 +1433,10 @@ class Executor:
     @property
     def hit_off(self):
         return self._residency.ensure(self)["hit_off"]
+
+    @property
+    def hit_goff(self):
+        return self._residency.ensure(self)["hit_goff"]
 
     # -------------------------------------------------- hot-term plane cache
     @property
@@ -1373,6 +1501,116 @@ class Executor:
         for s, tid in enumerate(tids):
             out[s] = self._hot.get(int(tid), -1)
         return out
+
+    def _pos_cell_rows(self, cs, cn):
+        """Host-precomputed per-cell plane-row starts for the posmask
+        scatter kernel (one DMA wave per cell — ops/posmask.py): returns
+        (dpr, ppr, gor, need_pos_rows, need_goff_rows)."""
+        seg = self.seg
+        bho = seg.block_hits_off.astype(np.int64)
+        goff = seg.hit_group_off.astype(np.int64)
+        n_blocks = len(bho)
+        G = len(goff) - 1
+        e0 = bho[np.minimum(cs, max(0, n_blocks - 1))]
+        nxt = cs.astype(np.int64) + cn
+        e1 = np.where(
+            nxt < n_blocks,
+            bho[np.minimum(nxt, max(0, n_blocks - 1))],
+            G * 128,  # padded stream element count (gend clamps to G)
+        )
+        g0 = e0 >> 7
+        gend = np.minimum(-(-e1 // 128), G)
+        dpr = (
+            seg.block_plane_off.astype(np.int64)[
+                np.minimum(cs, max(0, n_blocks - 1))
+            ]
+            >> 5
+        ).astype(np.int32)
+        ppr = (goff[np.minimum(g0, G)] >> 5).astype(np.int32)
+        gor = (g0 >> 7).astype(np.int32)
+        live = cn > 0
+        pos_rows = np.where(
+            live, (goff[np.minimum(gend, G)] >> 5) - ppr + 2, 0
+        )
+        goff_rows = np.where(live, (gend >> 7) - gor + 2, 0)
+        return (
+            dpr, ppr, gor,
+            int(pos_rows.max(initial=0)),
+            int(goff_rows.max(initial=0)),
+        )
+
+    @property
+    def pos_planes(self):
+        self._ensure_pos_planes()
+        return self._pos_planes
+
+    def _ensure_pos_planes(self):
+        jax, jnp = _lazy_jax()
+        if self._pos_planes is not None:
+            return
+        with self._pos_lock:
+            self._ensure_pos_planes_locked()
+
+    def _ensure_pos_planes_locked(self):
+        """Build posmask planes under _pos_lock (same OOM-race rationale as
+        _ensure_tf_planes_locked). Terms whose per-cell positions exceed
+        the largest DMA bucket are dropped from the cache (groups holding
+        them fall back to the candidate ladder anyway)."""
+        jax, jnp = _lazy_jax()
+        if self._pos_planes is not None:
+            return
+        from trinity_tpu.ops.posmask import (
+            GOFF_ROWS,
+            RPOS_BUCKETS,
+            materialize_posmask_tiles,
+        )
+        from trinity_tpu.ops.postings import compute_cells
+
+        PW = self._pw_words
+        if not self._pos_hot:
+            with jax.ensure_compile_time_eval():
+                self._pos_planes = jnp.zeros((1, 1, 1, 1, 1), jnp.int32)
+            return
+        seg = self.seg
+        W = seg.n_windows
+        order = sorted(self._pos_hot, key=self._pos_hot.get)
+        # per-term DMA-bucket feasibility (the biggest cells live here)
+        keep = []
+        rb_max = RPOS_BUCKETS[-1]
+        for tid in order:
+            cs1, cn1 = compute_cells(seg, [tid])
+            _, _, _, np_, ng_ = self._pos_cell_rows(cs1, cn1)
+            if np_ <= rb_max and ng_ <= GOFF_ROWS[rb_max]:
+                keep.append(tid)
+        self._pos_hot = {int(t): i for i, t in enumerate(keep)}
+        if not keep:
+            with jax.ensure_compile_time_eval():
+                self._pos_planes = jnp.zeros((1, 1, 1, 1, 1), jnp.int32)
+            return
+        CH = 8  # terms per scatter call: ONE kernel variant, bounded HBM
+        chunks = []
+        for i in range(0, len(keep), CH):
+            tids = keep[i : i + CH]
+            tids = tids + [-1] * (CH - len(tids))
+            cs, cn = compute_cells(seg, tids)
+            dpr, ppr, gor, np_, ng_ = self._pos_cell_rows(cs, cn)
+            rpos = next(
+                rb for rb in RPOS_BUCKETS
+                if np_ <= rb and ng_ <= GOFF_ROWS[rb]
+            )
+            # fixed largest bucket: every chunk shares ONE compiled variant
+            rpos = rb_max if self.interpret is False else rpos
+            tiles = materialize_posmask_tiles(
+                self.bmeta, self.planes, self.hit_pw, self.hit_goff,
+                jnp.asarray(cs), jnp.asarray(cn),
+                jnp.asarray(dpr), jnp.asarray(ppr), jnp.asarray(gor),
+                n_windows=W, n_members=CH, pw_words=PW,
+                rpos_rows=rpos, goff_rows=GOFF_ROWS[rpos],
+                interpret=self.interpret,
+            )  # (W, CH, PW, 128, 128)
+            chunks.append(tiles)
+        planes = jnp.concatenate(chunks, axis=1)[:, : len(keep)]
+        self._pos_planes = jax.block_until_ready(planes)
 
     # ------------------------------------------------------------ plumbing
     def set_masked_local_docs(self, local_ids: Optional[np.ndarray]):
@@ -1891,10 +2129,16 @@ class Executor:
             if plan.has_phrase:
                 gk = key
                 if key[0] == "phrase":
-                    # split lazy-phrase groups by per-query C2 bucket: the
-                    # verify cost is C2-proportional, so rare bigrams must
-                    # not share a group (and its max C2) with stopword ones
-                    gk = (key, _phrase_group_c2(df_of, plan, key[1], k))
+                    if self._posmask_enabled:
+                        # the dense posmask path has no per-query cost
+                        # ladder — every same-shape phrase shares a group
+                        gk = (key, "pos")
+                    else:
+                        # split lazy-phrase groups by per-query C2 bucket:
+                        # the verify cost is C2-proportional, so rare
+                        # bigrams must not share a group (and its max C2)
+                        # with stopword ones
+                        gk = (key, _phrase_group_c2(df_of, plan, key[1], k))
                 phrase_groups.setdefault(gk, []).append((qi, plan))
             else:
                 # flat boolean shapes share ONE tape-independent program
@@ -1982,6 +2226,17 @@ class Executor:
                 group_meta.append((members, kind, B, None))
         for gk, members in phrase_groups.items():
             key = gk[0] if isinstance(gk[0], tuple) else gk  # strip C2 part
+            prep = None
+            if key[0] == "phrase" and self._posmask_enabled:
+                prep = self._prep_phrase_pos(
+                    key, members, k, scorer, model, docs_cnt, df_of
+                )
+                if prep is not None:
+                    spec, arrays = prep
+                    spec_entries.append(spec)
+                    flat_inputs += [jnp.asarray(a) for a in arrays]
+                    group_meta.append((members, "posph", spec[3], None))
+                    continue
             prep = (
                 self._prep_phrase_lazy(
                     key, members, k, scorer, model, docs_cnt, df_of
@@ -2006,9 +2261,18 @@ class Executor:
             fn = _build_batch_combined(
                 tuple(spec_entries), scorer, seg.n_windows, k, self.interpret
             )
+            # pass the posmask cache only when a posph entry reads it: the
+            # cache array's SHAPE is part of the jit signature, and feeding
+            # it to cache-free programs would fork every variant on
+            # build-state (a warmup-coverage hazard)
+            needs_pos_cache = any(
+                e[0] == "posph" and e[7] for e in spec_entries
+            )
+            pplanes = self.pos_planes if needs_pos_cache else _pos_dummy()
             packed_dev = fn(  # async dispatch — no blocking here
                 self.bmeta, self.planes, self.tf_planes, self.hit_pw,
-                self.hit_off, np.int32(seg.n_docs),
+                self.hit_off, self.hit_goff, pplanes,
+                np.int32(seg.n_docs),
                 self._deleted_tiles, self._deleted, *flat_inputs,
             )
         return (packed_dev, group_meta, pending, results, _t0)
@@ -2093,6 +2357,76 @@ class Executor:
         return seg.doc_map[local]
 
     # ------------------------------------------------------- phrase path
+    def _prep_phrase_pos(self, key, members, k, scorer, model, docs_cnt,
+                         df_of):
+        """Prep for the dense positional-bitmask phrase path: dedup the
+        group's member terms (stopwords repeat across queries — each term's
+        mask scatters ONCE per batch), compute cell tables + per-cell plane
+        row starts, and size the kernel's static DMA buckets. Returns
+        (spec_entry, arrays) or None when a member's per-cell positions
+        exceed the largest DMA bucket (the candidate ladder then runs)."""
+        from trinity_tpu.config import get_config
+        from trinity_tpu.ops.posmask import GOFF_ROWS, RPOS_BUCKETS
+        from trinity_tpu.ops.postings import compute_cells
+
+        seg = self.seg
+        W = seg.n_windows
+        slots = key[1]
+        K = len(slots)
+        if k < 1 or K < 2:
+            return None
+        buckets = get_config().batch_buckets
+        B = _pick_bucket(buckets, len(members))
+        tid_list: list = []
+        tid_index: dict = {}
+        memidx = np.zeros((B, K), np.int32)
+        weights = np.zeros(B, np.float32)
+        for bi, (qi, plan) in enumerate(members):
+            for ki, s in enumerate(slots):
+                tid = seg.term_id(plan.term_texts[s])
+                mk = tid_index.get(tid)
+                if mk is None:
+                    mk = len(tid_list)
+                    tid_index[tid] = mk
+                    tid_list.append(tid)
+                memidx[bi, ki] = mk
+            weights[bi] = model.weight(
+                [df_of(t) for t in plan.weight_terms[key[2]]], docs_cnt
+            )
+        m_real = len(tid_list)
+        M = _pick_bucket(get_config().term_buckets, m_real)
+        # hot posmask cache: cached members' cells are ZEROED (the kernel
+        # skips them) and their planes come from pos_planes via cidx
+        if self._pos_hot:
+            self._ensure_pos_planes()  # may prune _pos_hot — before cidx
+        cidx = np.full(M, -1, np.int32)
+        for mi, tid in enumerate(tid_list):
+            cidx[mi] = self._pos_hot.get(int(tid), -1)
+        cached = bool((cidx >= 0).any())
+        c_s, c_n = compute_cells(seg, tid_list)
+        cs = np.zeros((W, M), np.int32)
+        cn = np.zeros((W, M), np.int32)
+        cs[:, :m_real] = c_s
+        cn[:, :m_real] = c_n
+        cn[:, np.flatnonzero(cidx >= 0)] = 0  # cached: no scatter
+        # per-cell plane-row starts (host precompute lets the kernel issue
+        # all four DMAs in one wave — no serialized meta->planes chain)
+        dpr, ppr, gor, need_pos, need_goff = self._pos_cell_rows(cs, cn)
+        rpos = None
+        for rb in RPOS_BUCKETS:
+            if need_pos <= rb and need_goff <= GOFF_ROWS[rb]:
+                rpos = rb
+                break
+        if rpos is None:
+            from trinity_tpu.utils.metrics import get_metrics
+
+            get_metrics().count("phrase.posmask_overflow")
+            return None
+        spec = (
+            "posph", K, M, B, self._pw_words, rpos, GOFF_ROWS[rpos], cached
+        )
+        return spec, (cs, cn, dpr, ppr, gor, memidx, cidx, weights)
+
     def _prep_phrase_lazy(self, key, members, k, scorer, model, docs_cnt,
                           df_of):
         """First half of the fused lazy phrase path: cell tables, weights,

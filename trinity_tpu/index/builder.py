@@ -446,6 +446,7 @@ class SegmentIndexSession:
         n_postings_total = 0
         hit_base = 0
         max_pos = 0
+        pos_distinct = True
         fd, pos_path = tempfile.mkstemp(
             suffix=".trinity-pos.u32", dir=self._spill_dir
         )
@@ -560,6 +561,12 @@ class SegmentIndexSession:
                 hit_base += n
                 if n:
                     max_pos = max(max_pos, int(pos_a.max()))
+                    # partitions are whole-term ranges, so (term, doc) runs
+                    # never straddle partitions: AND of per-partition checks
+                    # equals the monolithic check
+                    pos_distinct = pos_distinct and _positions_distinct(
+                        tid_a, doc_a, pos_a
+                    )
 
             for path in self._spills:
                 os.unlink(path)
@@ -635,7 +642,23 @@ class SegmentIndexSession:
             updated_ids=np.array(sorted(self._updated), dtype=np.uint32),
             stats=stats,
             max_position=max_pos,
+            positions_distinct=pos_distinct,
         )
+
+
+def _positions_distinct(tid_a, doc_a, pos_a) -> bool:
+    """True when no (term, doc, position) triple repeats in the LEXSORTED
+    hit stream (duplicates are adjacent after the commit lexsort). Gates
+    the dense positional-bitmask phrase path (format.py field doc)."""
+    if len(tid_a) < 2:
+        return True
+    return not bool(
+        np.any(
+            (tid_a[1:] == tid_a[:-1])
+            & (doc_a[1:] == doc_a[:-1])
+            & (pos_a[1:] == pos_a[:-1])
+        )
+    )
 
 
 def _posting_runs(tid_a, doc_a, n_docs):
@@ -781,6 +804,7 @@ def _build_segment(
         updated_ids=updated,
         stats=stats,
         max_position=int(pos_a.max(initial=0)),
+        positions_distinct=_positions_distinct(tid_a, doc_a, pos_a),
     )
 
 

@@ -126,6 +126,14 @@ class SegmentData:
     stats: FieldStatistics = field(default_factory=FieldStatistics)
     # max indexed token position (IndexSource::max_indexed_position analog)
     max_position: int = 0
+    # True when no (term, doc) posting holds the same position twice —
+    # established at commit from the lexsorted hit stream. Gates the dense
+    # positional-bitmask phrase path (ops/posmask.py): a bitmask loses
+    # position multiplicity, which only matters when duplicates exist
+    # (anchored phrase counts follow member 0's multiplicity,
+    # docwordspace.cpp:3-15). False = unknown/has duplicates (older
+    # segments load as False and use the candidate ladder).
+    positions_distinct: bool = False
     # packed terms dictionary (authoritative on loaded segments)
     terms_data: np.ndarray | None = None
     terms_idx: np.ndarray | None = None
@@ -270,6 +278,7 @@ class SegmentData:
             "codec": CODEC_NAME,
             "stats": self.stats.to_dict(),
             "max_position": self.max_position,
+            "positions_distinct": bool(self.positions_distinct),
             "n_docs": self.n_docs,
             "n_terms": self.n_terms,
             "has_payloads": self.payloads is not None,
@@ -301,6 +310,7 @@ class SegmentData:
         return cls(
             stats=FieldStatistics.from_dict(manifest["stats"]),
             max_position=manifest["max_position"],
+            positions_distinct=bool(manifest.get("positions_distinct", False)),
             terms_data=z["terms_data"],
             terms_idx=z["terms_idx"],
             _n_terms=int(manifest["n_terms"]),
