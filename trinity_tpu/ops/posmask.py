@@ -96,27 +96,22 @@ def _nt(a, v):
     )
 
 
-def _mm(a, b):
-    """out[x, y] = sum_j a[x, j] * b[j, y] — plain matmul, bf16-exact ops."""
-    return jax.lax.dot_general(
-        a.astype(jnp.bfloat16),
-        b.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
 def _transpose_lanes(vec_f32, eyef, n_bytes: int):
-    """(1, 128) f32 integer lane vector -> (128, 1) sublane column, EXACT
-    for values in [0, 2^(8*n_bytes)): each 8-bit byte plane is bf16-exact,
-    so identity-matmul transposes recombine exactly in f32."""
+    """(1, 128) f32 integer lane vector -> (128, 128) SUBLANE-broadcast
+    form (out[s, :] = vec[0, s]), EXACT for values in [0, 2^(8*n_bytes)):
+    each 8-bit byte plane is bf16-exact, so identity-matmul transposes
+    recombine exactly in f32. Full 128x128 matmul shapes throughout — no
+    matrix-vector forms for Mosaic to trip on."""
     v = vec_f32.astype(jnp.int32)
     out = None
     for b in range(n_bytes):
-        byte = ((v >> (8 * b)) & 255).astype(jnp.float32)
-        t = _nt(eyef, byte)[:, :1] * np.float32(1 << (8 * b))
+        byte = jnp.broadcast_to(
+            ((v >> (8 * b)) & 255).astype(jnp.float32), (TILE, TILE)
+        )
+        # out[s, y] = sum_l eye[s, l] * byte[y, l] = byte value at lane s
+        t = _nt(eyef, byte) * np.float32(1 << (8 * b))
         out = t if out is None else out + t
-    return out  # (128, 1) f32
+    return out  # (128, 128) f32, constant across lanes
 
 
 def _bitfield(wlo, whi, sh, width):
@@ -226,20 +221,25 @@ def _make_posmask_kernel(PW: int, RPOS: int, GOFFR: int, TG: int):
                     S = jnp.max(jnp.where(valid, epf + fv, 0))  # block hits
                     local = docs - wbase
                     inwin = valid & (local >= 0) & (local < WINDOW_SIZE)
-                    # out-of-window/invalid postings -> -1: they then miss
-                    # every row of the scatter one-hots (the compares run
-                    # BEFORE any bf16 cast, and -1/0..127 are bf16-exact)
-                    hi_j = jnp.where(inwin, local >> 7, -1).astype(jnp.float32)
-                    lo_j = jnp.where(inwin, local & 127, -1).astype(jnp.float32)
+                    # out-of-window/invalid postings -> coordinate 0 here,
+                    # -1 after the gather's -1 bias below: they then miss
+                    # every row of the scatter one-hots
+                    hj1 = jnp.where(inwin, (local >> 7) + 1, 0).astype(
+                        jnp.float32
+                    )  # doc hi + 1 in [0, 128]
+                    lj1 = jnp.where(inwin, (local & 127) + 1, 0).astype(
+                        jnp.float32
+                    )
                     # per-posting run bounds in block-relative element space
                     # (values < 2^23: 128 postings x freq < 2^16 — exact
                     # 3-byte transposes); invalid lanes get an empty run
                     big = np.float32((1 << 23) - 1)
-                    lo_b = jnp.where(valid, epf, 0).astype(jnp.float32)
-                    lo_b = jnp.where(valid, lo_b, big)
+                    lo_b = jnp.where(valid, epf.astype(jnp.float32), big)
                     hi_b = jnp.where(valid, (epf + fv).astype(jnp.float32), big)
-                    loT = _transpose_lanes(lo_b, eyef, 3)  # (128, 1)
+                    loT = _transpose_lanes(lo_b, eyef, 3)  # (128,128) sub-bc
                     hiT = _transpose_lanes(hi_b, eyef, 3)
+                    hjT = _transpose_lanes(hj1, eyef, 1)
+                    ljT = _transpose_lanes(lj1, eyef, 1)
                     g0 = hits // 128
                     ng = (hits + S - 1) // 128 - g0 + 1
 
@@ -259,9 +259,11 @@ def _make_posmask_kernel(PW: int, RPOS: int, GOFFR: int, TG: int):
                         # has loT[j] <= rel < hiT[j] for live lanes (runs
                         # partition [0, S)); dead lanes -> all-zero column
                         O = ((loT <= relf) & (relf < hiT)).astype(jnp.float32)
-                        # element doc coords: one product each, exact
-                        hi_e = _mm(hi_j, O)  # (1, 128)
-                        lo_e = _mm(lo_j, O)
+                        # element doc coords: multiply + sublane reduce (O
+                        # is one-hot per column, coords+1 <= 128 — exact);
+                        # dead/out-of-window columns sum to 0 -> coord -1
+                        hi_e = (O * hjT).sum(axis=0, keepdims=True) - 1.0
+                        lo_e = (O * ljT).sum(axis=0, keepdims=True) - 1.0
                         A = (hi_e == iota_subf).astype(jnp.float32)
                         oh_lo = lo_e == iota_subf  # (128, 128) bool
                         bitv = (1 << (pvals & 7)).astype(jnp.float32)
