@@ -8,6 +8,13 @@ persist seconds, load seconds, and on-disk bytes per file — the numbers
 behind the COMPONENTS.md codec-tradeoff statement.
 
 Usage: python tools/measure_codecs.py [n_docs]  (default: full bench corpus)
+       python tools/measure_codecs.py payloads [n_docs]
+         — payload-bearing segment (1-byte per-hit payloads, the common
+         application pattern per runtime.h:8-20): canonical persists the
+         raw 9 B/hit PAYLOAD_DT stream while gv_streams group-varint-codes
+         the values, so this is the axis where the byte-aligned family
+         WINS on disk (the reference's streamvbyte rationale,
+         lucene_codec.h:10-24, applied where byte alignment is native).
 """
 
 import json
@@ -24,21 +31,35 @@ import numpy as np  # noqa: E402
 def main():
     from trinity_tpu.index.format import SegmentData, persisted_size
 
-    if len(sys.argv) > 1:
-        n = int(sys.argv[1])
+    args = sys.argv[1:]
+    payload_mode = bool(args) and args[0] == "payloads"
+    if payload_mode:
+        args = args[1:]
+    if args or payload_mode:
+        n = int(args[0]) if args else 200_000
         from trinity_tpu.index.builder import SegmentIndexSession
 
         rng = np.random.default_rng(7)
         zipf = 1.0 / np.arange(1, 5001) ** 1.07
         zipf /= zipf.sum()
-        sess = SegmentIndexSession()
+        sess = SegmentIndexSession(track_payloads=payload_mode)
         lengths = rng.integers(6, 24, size=n)
         toks = rng.choice(5000, size=int(lengths.sum()), p=zipf)
         names = np.array([f"w{i}" for i in range(5000)], dtype=object)
         b = np.zeros(n + 1, np.int64)
         np.cumsum(lengths, out=b[1:])
-        docs = [names[toks[b[d] : b[d + 1]]].tolist() for d in range(n)]
-        sess.bulk_index(range(n), docs)
+        if payload_mode:
+            # 1-byte app payload per hit (e.g. style/weight flags)
+            pays = rng.integers(1, 256, size=int(b[-1])).astype(np.uint64)
+            sess.bulk_index_ids(
+                np.arange(n, dtype=np.int64), toks.astype(np.int64), b,
+                [f"w{i}" for i in range(5000)],
+                payloads=pays,
+                payload_lens=np.ones(int(b[-1]), np.uint8),
+            )
+        else:
+            docs = [names[toks[b[d] : b[d + 1]]].tolist() for d in range(n)]
+            sess.bulk_index(range(n), docs)
         seg = sess.commit()
     else:
         from bench import build_corpus

@@ -143,7 +143,17 @@ def persist(seg, path: str) -> None:
     streams["term_df"] = seg.term_df
     streams["updated_ids"] = seg.updated_ids
     if seg.payloads is not None:
-        streams["payloads"] = seg.payloads
+        # Payloads are the family's natural win: canonical dumps the raw
+        # PAYLOAD_DT stream (9 B/hit) while apps mostly store 0-2 byte
+        # payloads per hit (runtime.h:8-20 term_hit payloadLen) — a
+        # byte-aligned group codec stores those near-entropy. u64 values
+        # split into lo/hi u32 group-varint streams; lengths ride raw u8.
+        pv = seg.payloads["val"]
+        lo, hi = gv_encode((pv & np.uint64(0xFFFFFFFF)).astype(np.uint32)), \
+            gv_encode((pv >> np.uint64(32)).astype(np.uint32))
+        streams["pay_lo_ctrl"], streams["pay_lo_data"] = lo
+        streams["pay_hi_ctrl"], streams["pay_hi_data"] = hi
+        streams["pay_len"] = seg.payloads["len"]
     if seg.terms_data is not None:
         tdata, tidx = seg.terms_data, seg.terms_idx
     else:
@@ -206,9 +216,23 @@ def load(path: str, manifest: dict):
     pos_a = positions.astype(np.uint16)
     from trinity_tpu.index.format import as_payload_array
 
-    pay_a = (
-        as_payload_array(z["payloads"]) if manifest["has_payloads"] else None
-    )
+    if not manifest["has_payloads"]:
+        pay_a = None
+    elif "pay_lo_ctrl" in z:
+        n_pay = len(z["pay_len"])
+        pv = gv_decode(z["pay_lo_ctrl"], z["pay_lo_data"], n_pay).astype(
+            np.uint64
+        ) | (
+            gv_decode(z["pay_hi_ctrl"], z["pay_hi_data"], n_pay).astype(
+                np.uint64
+            )
+            << np.uint64(32)
+        )
+        from trinity_tpu.index.format import pack_payloads
+
+        pay_a = pack_payloads(pv, z["pay_len"])
+    else:  # older gv segments stored the raw PAYLOAD_DT stream
+        pay_a = as_payload_array(z["payloads"])
     terms = unpack_terms(z["terms_data"], z["terms_idx"])
     seg = _build_segment(
         doc_map.astype(np.uint32),
