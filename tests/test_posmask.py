@@ -237,3 +237,61 @@ def test_posmask_multiwindow():
     np.testing.assert_allclose(
         [r.score for r in got], [s for _, s in want], rtol=2.4e-7, atol=0
     )
+
+
+def test_posmask_empty_and_maskonly_segments():
+    """r4 regression: `_pos_cell_rows` indexed an EMPTY block_hits_off on
+    zero-block segments. Phrase queries must short-circuit against
+    (a) a segment with zero postings blocks, (b) a mask-only (erase-only)
+    generation — first-class source type, index_source.h:160-189."""
+    # (a) erase-only segment, searched directly
+    sess = SegmentIndexSession()
+    sess.erase(7)
+    sess.erase(9)
+    seg = sess.commit()
+    assert len(seg.block_hits_off) == 0 and seg.n_docs == 0
+    ex = Executor(seg)
+    for qtext in ['"t0 t1"', '"t0 t1 t2"', 't0 t1', 't0 OR t1']:
+        assert ex.search(qtext, k=10) == []
+
+    # (b) collection = real segment + newer mask-only generation; the
+    # phrase must still answer (minus the erased doc) without crashing
+    from trinity_tpu.index.source import IndexSourcesCollection
+
+    rng = np.random.default_rng(3)
+    sess = SegmentIndexSession()
+    corpus = OracleCorpus()
+    for d in range(1, 101):
+        toks = [f"t{int(i)}" for i in rng.integers(0, 8, size=6)]
+        if d % 4 == 0:
+            toks[1:3] = ["t0", "t1"]
+        corpus.add(d, toks)
+        p = sess.begin(d)
+        for pos, t in enumerate(toks, start=1):
+            p.insert(t, pos)
+        sess.insert(p)
+    base = sess.commit()
+    erase_sess = SegmentIndexSession()
+    erase_sess.erase(4)
+    mask_only = erase_sess.commit()
+    coll = IndexSourcesCollection()
+    coll.add_segment(base, generation=100)
+    coll.add_segment(mask_only, generation=200)
+    got = coll.search('"t0 t1"', k=10)
+    want = oracle_search(
+        corpus, parse_query('"t0 t1"').root, k=10, masked={4}
+    )
+    assert ids(got) == [d for d, _ in want]
+
+
+def test_posmask_terms_absent_from_segment(phrased):
+    """Phrase whose members have NO postings on an otherwise non-empty
+    segment (the sparse-shard case): empty result, no crash, and batching
+    it with live phrases must not perturb them."""
+    seg, corpus = phrased
+    ex = Executor(seg)
+    assert ex._posmask_enabled
+    res = ex.search_batch(['"zq zr"', '"t0 t1"'], k=10)
+    assert res[0] == []
+    want = oracle_search(corpus, parse_query('"t0 t1"').root, k=10)
+    assert ids(res[1]) == [d for d, _ in want]

@@ -1511,6 +1511,12 @@ class Executor:
         goff = seg.hit_group_off.astype(np.int64)
         n_blocks = len(bho)
         G = len(goff) - 1
+        if n_blocks == 0 or G <= 0:
+            # zero-block segment: empty shard or mask-only (erase-only)
+            # generation (index_source.h:160-189) — nothing to scatter.
+            # r4 regression: clamping to n_blocks-1 indexed an EMPTY array.
+            z = np.zeros_like(np.asarray(cs), dtype=np.int32)
+            return z, z, z, 0, 0
         e0 = bho[np.minimum(cs, max(0, n_blocks - 1))]
         nxt = cs.astype(np.int64) + cn
         e1 = np.where(
@@ -2409,6 +2415,12 @@ class Executor:
         cs[:, :m_real] = c_s
         cn[:, :m_real] = c_n
         cn[:, np.flatnonzero(cidx >= 0)] = 0  # cached: no scatter
+        if not cached and not cn.any():
+            # no member has a single postings block on this segment (empty
+            # shard / mask-only generation) and nothing is cached: the
+            # kernel would score all-zero masks. Route to the ladder path,
+            # which short-circuits empties (r4 regression guard).
+            return None
         # per-cell plane-row starts (host precompute lets the kernel issue
         # all four DMAs in one wave — no serialized meta->planes chain)
         dpr, ppr, gor, need_pos, need_goff = self._pos_cell_rows(cs, cn)
