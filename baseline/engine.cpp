@@ -283,8 +283,13 @@ struct TopK {
 
 // ------------------------------------------------------------------ query
 struct Query {
-  char kind;  // 'A' and, 'O' or, 'N' not, 'P' phrase
+  // 'A' and, 'O' or, 'N' not (last term negated), 'P' phrase (any arity),
+  // 'S' k-of-n ("S k t1 .. tn", DisjunctionSome semantics,
+  // docset_iterators.h:38-140), 'B' OR-of-AND ("B n1 a1..an1 n2 b1..bn2")
+  char kind;
   std::vector<uint32_t> terms;
+  uint32_t min_match = 1;                     // 'S'
+  std::vector<std::vector<uint32_t>> groups;  // 'B'
 };
 
 static float idf(uint32_t df, uint32_t n_docs) {
@@ -295,39 +300,132 @@ static inline float bm25(float w, uint32_t tf) {
   return w * (float)tf / ((float)tf + kK1);
 }
 
+// leapfrog conjunction over a term group (docset_iterators.cpp:226-348),
+// used standalone for OR-of-AND groups
+struct ConjGroup {
+  std::vector<Cursor> cs;  // rarest-first
+  bool dead = true;
+  uint32_t cur = UINT32_MAX;
+  float cur_score = 0;
+
+  void init(const Index& ix, const std::vector<uint32_t>& terms) {
+    for (uint32_t t : terms)
+      if (ix.terms[t].df == 0) return;  // group can never match
+    std::vector<uint32_t> req(terms);
+    std::sort(req.begin(), req.end(), [&](uint32_t a, uint32_t b) {
+      return ix.terms[a].df < ix.terms[b].df;
+    });
+    cs.resize(req.size());
+    for (size_t i = 0; i < req.size(); ++i)
+      cs[i].init(&ix.terms[req[i]],
+                 idf(ix.terms[req[i]].df, ix.n_docs));
+    dead = false;
+    settle(cs[0].doc());
+  }
+  // position every member on the first agreed doc >= target
+  void settle(uint32_t target) {
+    uint32_t d = target;
+    for (;;) {
+      if (!cs[0].advance(d)) {
+        dead = true;
+        return;
+      }
+      d = cs[0].doc();
+      bool agree = true;
+      for (size_t i = 1; i < cs.size(); ++i) {
+        if (!cs[i].advance(d)) {
+          dead = true;
+          return;
+        }
+        if (cs[i].doc() != d) {
+          d = cs[i].doc();
+          agree = false;
+          break;
+        }
+      }
+      if (agree) {
+        cur = d;
+        cur_score = 0;
+        for (auto& c : cs) cur_score += bm25(c.weight, c.tf());
+        return;
+      }
+    }
+  }
+  void next() {
+    if (dead) return;
+    if (!cs[0].next()) {
+      dead = true;
+      return;
+    }
+    settle(cs[0].doc());
+  }
+};
+
 static void run_query(const Index& ix, const Query& q, TopK& top,
                       std::vector<Cursor>& cs, std::vector<uint32_t>& pa,
                       std::vector<uint32_t>& pb) {
   uint32_t N = ix.n_docs;
-  if (q.kind == 'O') {
+  if (q.kind == 'O' || q.kind == 'S') {
     cs.clear();
     for (uint32_t t : q.terms) {
       if (ix.terms[t].df == 0) continue;
       cs.emplace_back();
       cs.back().init(&ix.terms[t], idf(ix.terms[t].df, N));
     }
-    if (cs.empty()) return;
-    // document-at-a-time k-way merge (small fan-in: linear min scan)
+    if (cs.size() < (q.kind == 'S' ? q.min_match : 1)) return;
+    // document-at-a-time k-way merge (small fan-in: linear min scan);
+    // 'S' adds the DisjunctionSome match-count threshold
+    // (docset_iterators.cpp:679-811 semantics, scalar driver)
     for (;;) {
       uint32_t mind = UINT32_MAX;
       for (auto& c : cs)
         if (!c.exhausted) mind = std::min(mind, c.doc());
       if (mind == UINT32_MAX) break;
       float s = 0;
+      uint32_t cnt = 0;
       for (auto& c : cs)
-        if (!c.exhausted && c.doc() == mind) s += bm25(c.weight, c.tf());
-      top.offer(s, mind);
+        if (!c.exhausted && c.doc() == mind) {
+          s += bm25(c.weight, c.tf());
+          ++cnt;
+        }
+      if (cnt >= q.min_match) top.offer(s, mind);
       for (auto& c : cs)
         if (!c.exhausted && c.doc() == mind) c.next();
     }
     return;
   }
-  // AND-style driver (A, N, P): required members sorted rarest-first
+  if (q.kind == 'B') {
+    // OR of AND-groups: DAAT merge over conjunction iterators
+    // (build_iterator composing Conjunction under Disjunction,
+    // exec.cpp:253-449); score sums the groups matching the doc
+    std::vector<ConjGroup> gs(q.groups.size());
+    for (size_t i = 0; i < q.groups.size(); ++i) gs[i].init(ix, q.groups[i]);
+    for (;;) {
+      uint32_t mind = UINT32_MAX;
+      for (auto& g : gs)
+        if (!g.dead) mind = std::min(mind, g.cur);
+      if (mind == UINT32_MAX) break;
+      float s = 0;
+      for (auto& g : gs)
+        if (!g.dead && g.cur == mind) s += g.cur_score;
+      top.offer(s, mind);
+      for (auto& g : gs)
+        if (!g.dead && g.cur == mind) g.next();
+    }
+    return;
+  }
+  // AND-style driver (A, N, P): required members sorted rarest-first.
+  // Phrases conjoin UNIQUE members (repeated members share one cursor —
+  // the "t w t" case), then verify adjacency over decoded positions.
   std::vector<uint32_t> req(q.terms);
   uint32_t excl_term = UINT32_MAX;
   if (q.kind == 'N') {
     excl_term = req.back();
     req.pop_back();
+  }
+  if (q.kind == 'P') {
+    std::sort(req.begin(), req.end());
+    req.erase(std::unique(req.begin(), req.end()), req.end());
   }
   for (uint32_t t : req)
     if (ix.terms[t].df == 0) return;  // empty conjunction
@@ -335,15 +433,17 @@ static void run_query(const Index& ix, const Query& q, TopK& top,
     return ix.terms[a].df < ix.terms[b].df;
   });
   cs.clear();
-  // phrase member order must stay query order for adjacency; keep a map
-  std::vector<uint32_t> order(req.size());
   for (size_t i = 0; i < req.size(); ++i) {
     cs.emplace_back();
     cs.back().init(&ix.terms[req[i]], idf(ix.terms[req[i]].df, N));
-    // position of req[i] in the original phrase
-    order[i] = (uint32_t)(std::find(q.terms.begin(), q.terms.end(), req[i]) -
-                          q.terms.begin());
   }
+  // phrase slot -> cursor index (query order drives adjacency)
+  std::vector<uint32_t> slot_cursor(q.terms.size());
+  if (q.kind == 'P')
+    for (size_t s = 0; s < q.terms.size(); ++s)
+      slot_cursor[s] = (uint32_t)(
+          std::find(req.begin(), req.end(), q.terms[s]) - req.begin());
+  std::vector<std::vector<uint32_t>> mpos(req.size());
   Cursor ex;
   if (excl_term != UINT32_MAX && ix.terms[excl_term].df > 0)
     ex.init(&ix.terms[excl_term], 0);
@@ -367,29 +467,19 @@ static void run_query(const Index& ix, const Query& q, TopK& top,
       excluded = !ex.exhausted && ex.doc() == d;
     if (!excluded) {
       if (q.kind == 'P') {
-        // adjacency count: positions of member 0 (query order) followed
-        // at +1.. by each next member
-        uint32_t m0 = 0, m1 = 1;  // two-term phrases in the bench mix
-        Cursor* c0 = nullptr;
-        Cursor* c1 = nullptr;
-        for (size_t i = 0; i < cs.size(); ++i) {
-          if (order[i] == m0) c0 = &cs[i];
-          if (order[i] == m1) c1 = &cs[i];
-        }
-        c0->positions(pa);
-        c1->positions(pb);
+        // adjacency count over N members: a phrase occurrence is a
+        // position p of slot 0 with slot i present at p+i for all i
+        // (docwordspace.cpp:3-15 test_phrase semantics)
+        for (size_t i = 0; i < cs.size(); ++i) cs[i].positions(mpos[i]);
+        const auto& first = mpos[slot_cursor[0]];
         uint32_t pf = 0;
-        size_t ia = 0, ib = 0;
-        while (ia < pa.size() && ib < pb.size()) {
-          uint32_t want = pa[ia] + 1;
-          if (pb[ib] == want) {
-            ++pf;
-            ++ia;
-            ++ib;
-          } else if (pb[ib] < want)
-            ++ib;
-          else
-            ++ia;
+        for (uint32_t p : first) {
+          bool ok = true;
+          for (size_t s = 1; s < q.terms.size() && ok; ++s) {
+            const auto& v = mpos[slot_cursor[s]];
+            ok = std::binary_search(v.begin(), v.end(), p + (uint32_t)s);
+          }
+          if (ok) ++pf;
         }
         if (pf > 0) {
           float w = 0;
@@ -443,10 +533,28 @@ int main(int argc, char** argv) {
       while (*p == ' ') ++p;
       if (!*p || *p == '\n' || *p == '#') continue;
       q.kind = *p++;
+      std::vector<uint32_t> nums;
       for (;;) {
         while (*p == ' ') ++p;
         if (!*p || *p == '\n') break;
-        q.terms.push_back((uint32_t)strtoul(p, &p, 10));
+        nums.push_back((uint32_t)strtoul(p, &p, 10));
+      }
+      if (q.kind == 'S') {
+        // "S k t1 .. tn"
+        q.min_match = nums.empty() ? 1 : nums[0];
+        q.terms.assign(nums.begin() + (nums.empty() ? 0 : 1), nums.end());
+      } else if (q.kind == 'B') {
+        // "B n1 a1..an1 n2 b1..bn2 ..." — OR of AND groups
+        size_t i = 0;
+        while (i < nums.size()) {
+          uint32_t n = nums[i++];
+          std::vector<uint32_t> g;
+          for (uint32_t j = 0; j < n && i < nums.size(); ++j)
+            g.push_back(nums[i++]);
+          if (!g.empty()) q.groups.push_back(std::move(g));
+        }
+      } else {
+        q.terms = std::move(nums);
       }
       queries.push_back(std::move(q));
     }

@@ -135,10 +135,15 @@ def _read_docs_bin():
 
 # ----------------------------------------------------------------- queries
 def make_queries(seg, rng, n=N_QUERIES):
-    """Mixed query set across the df spectrum. Returns (texts, id_lines):
-    texts feed this engine's parser; id_lines ("A i j" / "O i j k" /
-    "N pos neg" / "P i j") feed the baseline binary so both engines run the
-    IDENTICAL workload."""
+    """Mixed query set across the df spectrum AND the query language
+    (queries.h:10-16 node inventory): 2-term and 4-6-term ANDs, 3-term and
+    6-8-term ORs, 1- and 2-positive NOTs, 2- and 3-term phrases drawn from
+    real document co-occurrences, k-of-n (MatchSome/DisjunctionSome,
+    docset_iterators.h:38-140), and nested OR-of-AND. Returns
+    (texts, id_lines): texts feed this engine's parser; id_lines
+    ("A i j..." / "O i j..." / "N pos... neg" / "P i j..." / "S k t..." /
+    "B n1 g1... n2 g2...") feed the baseline binary so both engines run
+    the IDENTICAL workload."""
     # df tiers probed at log-spaced vocabulary ranks (the Zipf rank order
     # approximates df order; the tiers are defined on MEASURED df)
     cand = np.unique(np.geomspace(1, VOCAB, 6000).astype(np.int64)) - 1
@@ -154,43 +159,84 @@ def make_queries(seg, rng, n=N_QUERIES):
     )
     pick = lambda pool: int(pool[rng.integers(0, len(pool))])
 
-    # real co-occurrences for phrases: adjacent token pairs from documents
+    # real co-occurrences for phrases: adjacent token runs from documents
     _, _, bounds, tokens = _read_docs_bin()
 
-    def bigram():
+    def ngram(width):
         while True:
             d = int(rng.integers(0, N_DOCS))
             b, e = bounds[d], bounds[d + 1]
-            i = int(rng.integers(b, e - 1))
-            a, c = int(tokens[i]), int(tokens[i + 1])
-            if a != c:
-                return a, c
+            if e - b < width:
+                continue
+            i = int(rng.integers(b, e - width + 1))
+            run = [int(t) for t in tokens[i : i + width]]
+            if len(set(run)) == width:  # distinct members
+                return run
+
+    def picks(*pools):
+        """One distinct term per pool."""
+        out = []
+        for p in pools:
+            t = pick(p)
+            while t in out:
+                t = pick(p)
+            out.append(t)
+        return out
 
     texts, id_lines = [], []
     and_mix = [(hot, mid), (mid, mid), (mid, rare), (hot, rare)]
     or_mix = [(hot, mid, rare), (mid, mid, rare), (hot, mid, mid)]
     not_mix = [(mid, hot), (hot, mid), (mid, mid)]
     for i in range(n):
-        kind = i % 10
-        if kind < 4:  # 40% AND
-            pa, pb = and_mix[i % len(and_mix)]
-            a, b = pick(pa), pick(pb)
+        kind = i % 20
+        if kind < 6:  # 30% 2-term AND
+            a, b = picks(*and_mix[i % len(and_mix)])
             texts.append(f"w{a} w{b}")
             id_lines.append(f"A {a} {b}")
-        elif kind < 7:  # 30% OR
-            pa, pb, pc = or_mix[i % len(or_mix)]
-            a, b, c = pick(pa), pick(pb), pick(pc)
+        elif kind < 8:  # 10% wide AND (4 / 6 terms)
+            ts = (
+                picks(hot, hot, mid, mid)
+                if kind == 6
+                else picks(hot, hot, hot, hot, mid, mid)
+            )
+            texts.append(" ".join(f"w{t}" for t in ts))
+            id_lines.append("A " + " ".join(map(str, ts)))
+        elif kind < 12:  # 20% 3-term OR
+            a, b, c = picks(*or_mix[i % len(or_mix)])
             texts.append(f"w{a} OR w{b} OR w{c}")
             id_lines.append(f"O {a} {b} {c}")
-        elif kind < 9:  # 20% NOT
-            pa, pb = not_mix[i % len(not_mix)]
-            a, b = pick(pa), pick(pb)
+        elif kind < 13:  # 5% wide OR (6 / 8 terms)
+            ts = (
+                picks(mid, mid, mid, rare, rare, rare)
+                if i % 40 < 20
+                else picks(hot, mid, mid, mid, rare, rare, rare, rare)
+            )
+            texts.append(" OR ".join(f"w{t}" for t in ts))
+            id_lines.append("O " + " ".join(map(str, ts)))
+        elif kind < 15:  # 10% 2-term NOT
+            a, b = picks(*not_mix[i % len(not_mix)])
             texts.append(f"w{a} NOT w{b}")
             id_lines.append(f"N {a} {b}")
-        else:  # 10% phrase (real bigram)
-            a, b = bigram()
+        elif kind < 16:  # 5% 2-positive NOT
+            a, b, c = picks(hot, mid, mid)
+            texts.append(f"w{a} w{b} NOT w{c}")
+            id_lines.append(f"N {a} {b} {c}")
+        elif kind < 18:  # 10% phrase bigram
+            a, b = ngram(2)
             texts.append(f'"w{a} w{b}"')
             id_lines.append(f"P {a} {b}")
+        elif kind < 19:  # 5% phrase trigram
+            a, b, c = ngram(3)
+            texts.append(f'"w{a} w{b} w{c}"')
+            id_lines.append(f"P {a} {b} {c}")
+        elif i % 40 < 20:  # 2.5% k-of-n (MatchSome)
+            ts = picks(mid, mid, mid, rare)
+            texts.append("[" + ",".join(f"w{t}" for t in ts) + "]/2")
+            id_lines.append("S 2 " + " ".join(map(str, ts)))
+        else:  # 2.5% nested OR-of-AND
+            a, b, c, d = picks(hot, mid, mid, rare)
+            texts.append(f"(w{a} w{b}) OR (w{c} w{d})")
+            id_lines.append(f"B 2 {a} {b} 2 {c} {d}")
     return texts, id_lines
 
 
@@ -211,9 +257,12 @@ def measure_baseline(id_lines):
             f.read() + "\n".join(id_lines).encode()
         ).hexdigest()[:16]
     cache = os.path.join(_cache_dir(), f"baseline-{digest}.json")
-    if os.path.exists(cache):
+    dump = os.path.join(_cache_dir(), f"baseline_topk-{digest}.txt")
+    if os.path.exists(cache) and os.path.exists(dump):
         with open(cache) as f:
-            return json.load(f)
+            out = json.load(f)
+        out["topk_path"] = dump
+        return out
     r = subprocess.run(
         ["make", "-C", os.path.join(_repo_root(), "baseline")],
         capture_output=True,
@@ -230,6 +279,8 @@ def measure_baseline(id_lines):
             os.path.join(_repo_root(), "baseline", "trinity_baseline"),
             _docs_bin(),
             qfile,
+            "--dump-topk",
+            dump,
             "--min-seconds",
             "10",
         ],
@@ -241,8 +292,50 @@ def measure_baseline(id_lines):
     out = json.loads(r.stdout.decode().strip().splitlines()[-1])
     with open(cache, "w") as f:
         json.dump(out, f)
+    out["topk_path"] = dump
     _log(f"baseline: {out}")
     return out
+
+
+def load_topk_dump(path):
+    """Parse a --dump-topk file into [[(doc, score), ...] per query]."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            rows.append(
+                [
+                    (int(t.split(":")[0]), float(t.split(":")[1]))
+                    for t in line.split()
+                ]
+            )
+    return rows
+
+
+def topk_agree(b, o, rtol=1e-4):
+    """True iff two ranked top-k lists agree: scores within f32
+    accumulation noise and ids equal up to permutations WITHIN a
+    score-equivalence class (the two engines accumulate f32 in different
+    orders, so near-ties may legally swap — CLAUDE.md invariants)."""
+    if len(b) != len(o):
+        return False
+    for (bd, bs), (od, os_) in zip(b, o):
+        if abs(bs - os_) > rtol * max(1.0, abs(os_)):
+            return False
+    bids, oids = [d for d, _ in b], [d for d, _ in o]
+    if bids == oids:
+        return True
+    i = 0
+    while i < len(b):
+        j = i
+        while (
+            j + 1 < len(b)
+            and abs(b[j + 1][1] - b[i][1]) <= rtol * max(1.0, abs(b[i][1]))
+        ):
+            j += 1
+        if sorted(bids[i : j + 1]) != sorted(oids[i : j + 1]):
+            return False
+        i = j + 1
+    return True
 
 
 # ------------------------------------------------------------------ device
@@ -356,6 +449,30 @@ def main():
             "measurement loop — warmup coverage hole; numbers are invalid"
         )
 
+    # parity stamp: the denominator is only fair if both engines return
+    # the same top-10 on the same workload (tools/check_baseline_parity.py
+    # logic, folded into the tracked artifact). Hard-fail on mismatch —
+    # a wrong-answer engine's QPS is not a result.
+    parity = None
+    if base and base.get("topk_path"):
+        base_topk = load_topk_dump(base["topk_path"])
+        ours = ex.finish_batch(ex.launch_batch(queries, k=10))
+        agree = sum(
+            topk_agree(b, [(r.doc_id, r.score) for r in o])
+            for b, o in zip(base_topk, ours)
+        )
+        parity = f"{agree}/{len(queries)}"
+        if agree != len(queries):
+            for qi, (b, o) in enumerate(zip(base_topk, ours)):
+                if not topk_agree(b, [(r.doc_id, r.score) for r in o]):
+                    _log(f"PARITY MISMATCH q{qi} {queries[qi]!r}")
+                    _log(f"  baseline: {b[:3]}")
+                    _log(f"  ours:     {[(r.doc_id, r.score) for r in o[:3]]}")
+            raise RuntimeError(
+                f"top-10 parity {parity} vs the baseline engine — "
+                "scoring regression; numbers are invalid"
+            )
+
     mem = seg.memory_report()
     base_note = (
         f"baseline MEASURED {base_qps:.0f} qps single-core "
@@ -366,9 +483,11 @@ def main():
     )
     out = {
         "metric": (
-            "mixed AND/OR/NOT/phrase BM25 top-10 QPS, single chip, "
+            "mixed AND(2-6t)/OR(3-8t)/NOT/phrase(2-3t)/k-of-n/OR-of-AND "
+            "BM25 top-10 QPS, single chip, "
             f"{N_DOCS} docs x {VOCAB}-term Zipf vocab, 40-80 tok/doc "
-            f"(p50={np.median(p50s):.2f}ms p99={np.median(p99s):.2f}ms "
+            f"(parity {parity or 'n/a'} vs baseline top-10, "
+            f"p50={np.median(p50s):.2f}ms p99={np.median(p99s):.2f}ms "
             "median-of-3 passes, "
             f"corpus ready {build_s:.0f}s, index mem {mem['total']/1e6:.0f}MB "
             f"[postings {mem['postings_planes']/1e6:.0f} + positions "

@@ -50,6 +50,16 @@ QUERIES = [
     "nonexistent-term",
     "t0 NOT (t1 OR t2)",
     "t117",  # rare term
+    # r5 bench families (queries.h:10-16 node inventory breadth)
+    "t0 t2 t5 t9",  # 4-term AND
+    "t0 t1 t2 t4 t6 t8",  # 6-term AND
+    "t1 OR t3 OR t9 OR t17 OR t33 OR t65",  # 6-term OR
+    "t0 OR t2 OR t4 OR t8 OR t16 OR t32 OR t64 OR t128",  # 8-term OR
+    "t0 t3 NOT t1",  # 2-positive NOT
+    "[t3, t8, t11, t20]/2",  # k-of-n, k=2
+    "[t1, t5, t9, t13, t17]/3",  # k-of-n, k=3
+    "(t0 t5) OR (t2 t9)",  # OR-of-AND
+    "(t1 t3) OR (t2 t4 t6)",  # OR-of-AND, uneven groups
 ]
 
 

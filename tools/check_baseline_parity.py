@@ -42,14 +42,7 @@ def main():
         ],
         check=True,
     )
-    base = []
-    with open(dump) as f:
-        for line in f:
-            row = []
-            for tok in line.split():
-                d, s = tok.split(":")
-                row.append((int(d), float(s)))
-            base.append(row)
+    base = bench.load_topk_dump(dump)
 
     bench._wait_for_device()
     from trinity_tpu.config import configure
@@ -62,31 +55,7 @@ def main():
     bad = 0
     for qi, (q, b, o) in enumerate(zip(queries, base, ours)):
         oset = [(r.doc_id, r.score) for r in o]
-        # ids must match as SETS within every score-equivalence class;
-        # scores must agree to f32 accumulation noise
-        ok = len(b) == len(oset)
-        if ok:
-            for (bd, bs), (od, os_) in zip(b, oset):
-                if abs(bs - os_) > 1e-4 * max(1.0, abs(os_)):
-                    ok = False
-                    break
-            # id multiset comparison tolerating near-tie permutations
-            bids, oids = [d for d, _ in b], [d for d, _ in oset]
-            if ok and bids != oids:
-                i = 0
-                while i < len(b):
-                    j = i
-                    while (
-                        j + 1 < len(b)
-                        and abs(b[j + 1][1] - b[i][1])
-                        <= 1e-4 * max(1.0, abs(b[i][1]))
-                    ):
-                        j += 1
-                    if sorted(bids[i : j + 1]) != sorted(oids[i : j + 1]):
-                        ok = False
-                        break
-                    i = j + 1
-        if not ok:
+        if not bench.topk_agree(b, oset):
             bad += 1
             print(f"MISMATCH q{qi} {q!r}")
             print("  baseline:", b[:5])

@@ -272,7 +272,19 @@ def _parse_unary(ctx: _Ctx) -> Node:
             else:
                 ctx.group_term.pop()
                 return ctx.fail_node()
-        return MatchSome(nodes=nodes, min=1)
+        # `]/k` suffix sets min (k-of-n). The reference parser hardcodes
+        # min=1 (queries.cpp:450 make_match_some(..., 1)) and exposes k
+        # only programmatically (queries.h:141-156 make_match_some); this
+        # text form matches ast.node_to_str's round-trip format.
+        k = 1
+        if ctx.strip_prefix("/"):
+            digits = ""
+            while ctx.pos < len(ctx.content) and ctx.content[ctx.pos].isdigit():
+                digits += ctx.content[ctx.pos]
+                ctx.pos += 1
+            if digits:
+                k = max(1, min(int(digits), len(nodes)))
+        return MatchSome(nodes=nodes, min=k)
     if ctx.strip_prefix("("):
         ctx.group_term.append(")")
         e = _parse_expr(ctx) or ctx.fail_node()
