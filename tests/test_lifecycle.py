@@ -383,3 +383,128 @@ def test_collection_exec_rich_masks():
     n = c.exec_rich("apple", lambda m: seen.append(m.doc_id))
     assert n == len(seen) == 4
     assert sorted(seen) == [1, 3, 4, 10]  # doc 4 = gen2 version, 2 erased
+
+
+# ---- bounded-memory merge (merge_partitioned) ----
+
+_SEG_ARRAYS = (
+    "doc_map", "term_block_start", "term_nblocks", "term_df",
+    "term_sum_hits", "block_plane_off", "block_first_doc",
+    "block_last_doc", "block_count", "block_bits_doc", "block_bits_freq",
+    "block_hits_off", "block_max_freq", "planes", "hit_planes",
+    "hit_group_off", "updated_ids",
+)
+
+
+def _assert_segments_identical(a, b):
+    """Every persisted array bit-identical (the merge_partitioned
+    contract: same output as the monolithic merge)."""
+    for f in _SEG_ARRAYS:
+        np.testing.assert_array_equal(
+            getattr(a, f), getattr(b, f), err_msg=f
+        )
+    assert [bytes(t) for t in a.terms_list()] == [
+        bytes(t) for t in b.terms_list()
+    ]
+    if a.payloads is None:
+        assert b.payloads is None
+    else:
+        np.testing.assert_array_equal(a.payloads, b.payloads)
+    assert a.max_position == b.max_position
+    assert a.positions_distinct == b.positions_distinct
+
+
+def test_merge_partitioned_bit_parity_masked():
+    """merge_partitioned == merge bit-for-bit on the masked/updated/erased
+    collection, with a budget small enough to force many term partitions."""
+    def mc_of():
+        mc = MergeCandidatesCollection()
+        for src in build_collection().sources:
+            mc.add_source(src)
+        return mc
+
+    for kui in (True, False):
+        mono = mc_of().merge(keep_updated_ids=kui)
+        part = mc_of().merge_partitioned(keep_updated_ids=kui, budget_hits=4)
+        _assert_segments_identical(mono, part)
+
+
+def test_merge_partitioned_bit_parity_random():
+    """Randomized 3-way merge with interleaved docid spaces and repeated
+    tokens (multi-block terms, duplicate positions)."""
+    rng = np.random.default_rng(11)
+    mc1 = MergeCandidatesCollection()
+    mc2 = MergeCandidatesCollection()
+    for g, stride in ((1, 0), (2, 1), (3, 2)):
+        docs = {
+            i: " ".join(f"w{int(x)}" for x in rng.integers(0, 40, 16))
+            for i in range(stride, 600, 3)
+        }
+        seg = index_docs(docs).commit()
+        mc1.insert(seg, generation=g)
+        mc2.insert(seg, generation=g)
+    _assert_segments_identical(
+        mc1.merge(), mc2.merge_partitioned(budget_hits=257)
+    )
+
+
+def test_merge_partitioned_bit_parity_payloads():
+    """Payload streams survive the partitioned merge identically."""
+    def build(lo, hi, gen_docs):
+        sess = SegmentIndexSession(track_payloads=True)
+        for doc_id in range(lo, hi):
+            p = sess.begin(doc_id)
+            for pos, t in enumerate(gen_docs(doc_id).split(), start=1):
+                p.insert(t, pos, payload=doc_id * 100 + pos)
+            sess.insert(p)
+        return sess.commit()
+
+    rng = np.random.default_rng(5)
+    texts = {}
+
+    def gen_docs(doc_id):
+        if doc_id not in texts:
+            texts[doc_id] = " ".join(
+                f"t{int(x)}" for x in rng.integers(0, 25, 10)
+            )
+        return texts[doc_id]
+
+    mc1 = MergeCandidatesCollection()
+    mc2 = MergeCandidatesCollection()
+    for g, (lo, hi) in ((1, (0, 120)), (2, (100, 220))):
+        seg = build(lo, hi, gen_docs)
+        mc1.insert(seg, generation=g)
+        mc2.insert(seg, generation=g)
+    _assert_segments_identical(
+        mc1.merge(), mc2.merge_partitioned(budget_hits=64)
+    )
+
+
+def test_decode_postings_range_tiles_full_decode():
+    """Consecutive decode_postings_range calls tile decode_all_postings
+    exactly, and hit offsets address the positions stream correctly."""
+    from trinity_tpu.index.format import (
+        decode_all_postings,
+        decode_postings_range,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = {
+        i: " ".join(f"v{int(x)}" for x in rng.integers(0, 20, 14))
+        for i in range(300)
+    }
+    seg = index_docs(docs).commit()
+    t_all, d_all, f_all = decode_all_postings(seg)
+    parts_t, parts_d, parts_f = [], [], []
+    expected_h0 = 0
+    for lo in range(0, seg.n_terms, 3):
+        hi = min(lo + 3, seg.n_terms)
+        t, d, f, h0 = decode_postings_range(seg, lo, hi)
+        assert h0 == expected_h0
+        expected_h0 += int(f.sum())
+        parts_t.append(t)
+        parts_d.append(d)
+        parts_f.append(f)
+    np.testing.assert_array_equal(np.concatenate(parts_t), t_all)
+    np.testing.assert_array_equal(np.concatenate(parts_d), d_all)
+    np.testing.assert_array_equal(np.concatenate(parts_f), f_all)

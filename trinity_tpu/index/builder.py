@@ -395,11 +395,7 @@ class SegmentIndexSession:
         stream through a disk memmap; peak RAM is O(partition + output)
         instead of O(3x raw corpus).
         """
-        import tempfile
-
         from trinity_tpu.limits import MAX_SEGMENT_DOCS
-        from trinity_tpu.utils import native
-        from trinity_tpu.utils.bitpack import pack_value_groups
 
         if n_docs >= MAX_SEGMENT_DOCS:
             raise ValueError(
@@ -436,59 +432,12 @@ class SegmentIndexSession:
             acc += int(hits_per[t])
         cuts.append(n_terms)
 
-        # global output accumulators (output-sized, compressed)
-        term_df = np.zeros(n_terms, np.uint32)
-        term_sum_hits = np.zeros(n_terms, np.uint64)
-        term_nblocks = np.zeros(n_terms, np.int64)
-        blk_parts = []  # per-partition block-array tuples
-        plane_parts = []  # merged u32 word-rows (see _append_planes)
-        prow_total = 0  # exact plane rows emitted so far
-        n_postings_total = 0
-        hit_base = 0
-        max_pos = 0
-        pos_distinct = True
-        fd, pos_path = tempfile.mkstemp(
-            suffix=".trinity-pos.u32", dir=self._spill_dir
-        )
-        os.close(fd)
-        pos_mm = np.lib.format.open_memmap(
-            pos_path, mode="w+", dtype=np.uint32, shape=(max(total, 1),)
-        )
-        pay_mm = None
-        if self.track_payloads:
-            fd, pay_path = tempfile.mkstemp(
-                suffix=".trinity-pay.u64", dir=self._spill_dir
-            )
-            os.close(fd)
-            pay_mm = np.lib.format.open_memmap(
-                pay_path, mode="w+", dtype=PAYLOAD_DT, shape=(max(total, 1),)
-            )
-
-        def append_planes(words, p_local):
-            """Merge a partition's packed planes at plane-row offset
-            prow_total (not word-aligned): shift by `lead` bits with carry
-            across word rows, OR the first row into the previous tail."""
-            nonlocal prow_total
-            if p_local == 0:
-                return
-            lead = prow_total % 32
-            if lead == 0:
-                plane_parts.append(words.copy())
-            else:
-                lw = words.astype(np.uint64) << np.uint64(lead)
-                R = len(words)
-                ext = np.zeros((R + 1, BLOCK_SIZE), np.uint32)
-                ext[:R] = (lw & 0xFFFFFFFF).astype(np.uint32)
-                ext[1:] |= (lw >> np.uint64(32)).astype(np.uint32)
-                need = -(-(lead + p_local) // 32)
-                plane_parts[-1][-1] |= ext[0]
-                if need > 1:
-                    plane_parts.append(ext[1:need])
-            prow_total += p_local
-
         # the corpus-sized scratch memmaps must not outlive a failed
         # commit (repeated failures would fill the spill dir); spills
         # themselves are session state and only removed on success
+        enc = _PartitionEncoder(
+            n_terms, total, n_docs, self.track_payloads, self._spill_dir
+        )
         try:
             for lo, hi in zip(cuts[:-1], cuts[1:]):
                 parts_t, parts_d, parts_p, parts_pl = [], [], [], []
@@ -521,129 +470,19 @@ class SegmentIndexSession:
                 pay_a = (
                     np.concatenate(parts_pl)[perm] if self.track_payloads else None
                 )
-                n = len(tid_a)
-
-                p_start, p_tid, p_doc, p_freq = _posting_runs(
-                    tid_a, doc_a, n_docs
-                )
-                p_tid = p_tid - lo  # partition-local term index
-
-                nt = hi - lo
-                df = np.bincount(p_tid, minlength=nt)
-                term_df[lo:hi] = df
-                term_sum_hits[lo:hi] = np.bincount(
-                    p_tid, weights=p_freq, minlength=nt
-                ).astype(np.uint64)
-                nb = -(-df // BLOCK_SIZE)
-                term_nblocks[lo:hi] = nb
-                nbl = int(nb.sum())
-                posting_start = np.zeros(nt + 1, np.int64)
-                posting_start[:-1] = np.searchsorted(p_tid, np.arange(nt))
-                posting_start[-1] = len(p_tid)
-                p_start_global = (p_start + hit_base).astype(np.uint32)
-
-                tbs = np.zeros(nt, np.int64)
-                if nt > 1:
-                    tbs[1:] = np.cumsum(nb[:-1])
-                out = _encode_blocks(
-                    posting_start, p_doc, p_freq, p_start_global, nt, nbl, tbs
-                )
-                (bpo, bfd, bld, bct, bbd, bbf, bho, bmf, words) = out
-                p_local = int(bbd.astype(np.int64).sum() + bbf.astype(np.int64).sum())
-                blk_parts.append(
-                    (bpo.astype(np.int64) + prow_total, bfd, bld, bct, bbd, bbf, bho, bmf)
-                )
-                append_planes(words, p_local)
-                n_postings_total += len(p_tid)
-                pos_mm[hit_base : hit_base + n] = pos_a
-                if pay_mm is not None:
-                    pay_mm[hit_base : hit_base + n] = pay_a
-                hit_base += n
-                if n:
-                    max_pos = max(max_pos, int(pos_a.max()))
-                    # partitions are whole-term ranges, so (term, doc) runs
-                    # never straddle partitions: AND of per-partition checks
-                    # equals the monolithic check
-                    pos_distinct = pos_distinct and _positions_distinct(
-                        tid_a, doc_a, pos_a
-                    )
+                enc.add(lo, hi, tid_a, doc_a, pos_a, pay_a)
 
             for path in self._spills:
                 os.unlink(path)
             self._spills.clear()
 
-            term_block_start = np.zeros(n_terms, np.int64)
-            if n_terms > 1:
-                term_block_start[1:] = np.cumsum(term_nblocks[:-1])
-            if blk_parts:
-                block_arrays = [np.concatenate(x) for x in zip(*blk_parts)]
-            else:
-                block_arrays = [
-                    np.zeros(0, d)
-                    for d in (
-                        np.int64, np.uint32, np.uint32, np.int32,
-                        np.uint8, np.uint8, np.uint32, np.uint16,
-                    )
-                ]
-            (bpo, bfd, bld, bct, bbd, bbf, bho, bmf) = block_arrays
-            planes = (
-                np.vstack(plane_parts)
-                if plane_parts
-                else np.zeros((0, BLOCK_SIZE), np.uint32)
+            return enc.finish(
+                app_ids,
+                sorted_terms,
+                np.array(sorted(self._updated), dtype=np.uint32),
             )
-
-            pos_view = pos_mm[:total]
-            packed_pos = native.pack_value_groups(pos_view)
-            if packed_pos is None:
-                packed_pos = pack_value_groups(pos_view)
-            hit_planes, hit_group_off = packed_pos
-            payloads = (
-                np.asarray(pay_mm[:total]) if pay_mm is not None else None
-            )
-
         finally:
-            del pos_mm
-            try:
-                os.unlink(pos_path)
-            except OSError:
-                pass
-            if pay_mm is not None:
-                del pay_mm
-                try:
-                    os.unlink(pay_path)
-                except OSError:
-                    pass
-
-        stats = FieldStatistics(
-            sum_term_hits=total,
-            total_terms=n_terms,
-            sum_terms_docs=n_postings_total,
-            docs_cnt=n_docs,
-        )
-        return SegmentData(
-            doc_map=app_ids,
-            terms=sorted_terms,
-            term_block_start=term_block_start.astype(np.uint32),
-            term_nblocks=term_nblocks.astype(np.uint32),
-            term_df=term_df,
-            term_sum_hits=term_sum_hits.astype(np.uint32),
-            block_plane_off=bpo.astype(np.uint32),
-            block_first_doc=bfd,
-            block_last_doc=bld,
-            block_count=bct,
-            block_bits_doc=bbd,
-            block_bits_freq=bbf,
-            block_hits_off=bho,
-            block_max_freq=bmf,
-            planes=planes,
-            hit_planes=hit_planes,
-            hit_group_off=hit_group_off,
-            payloads=payloads,
-            updated_ids=np.array(sorted(self._updated), dtype=np.uint32),
-            stats=stats,
-            max_position=max_pos,
-            positions_distinct=pos_distinct,
-        )
+            enc.close()
 
 
 def _positions_distinct(tid_a, doc_a, pos_a) -> bool:
@@ -681,6 +520,222 @@ def _posting_runs(tid_a, doc_a, n_docs):
     if int(p_freq.max()) >= (1 << MAX_FREQ_BITS):
         raise ValueError("per-document term frequency must be < 2^16")
     return p_start, tid_a[p_start], doc_a[p_start], p_freq
+
+
+class _PartitionEncoder:
+    """Bounded-memory segment assembly from term-ordinal partitions.
+
+    Callers feed contiguous sorted-term-ordinal ranges via add() — each a
+    lexsorted (term, doc, pos) hit slice covering ALL hits of its terms —
+    and finish() assembles a SegmentData bit-identical to the monolithic
+    _build_segment over the concatenated stream (tests assert array
+    equality). Per-partition plane matrices merge with cross-word bit
+    shifts; raw positions stream through a disk memmap, so peak RAM is
+    O(one partition + compressed output), not O(corpus). Shared by
+    Builder._commit_partitioned (input: spill files) and
+    merge.MergeCandidatesCollection.merge_partitioned (input: per-source
+    block-range decodes) — the streaming analog of the reference's flushing
+    encoder sink (codecs.h:76-90) and codec-native participant merge
+    cursors (lucene_codec.cpp:963-1393).
+    """
+
+    def __init__(self, n_terms, total_hits, n_docs, track_payloads,
+                 spill_dir=None):
+        import tempfile
+
+        self.n_terms = n_terms
+        self.n_docs = n_docs
+        self.term_df = np.zeros(n_terms, np.uint32)
+        self.term_sum_hits = np.zeros(n_terms, np.uint64)
+        self.term_nblocks = np.zeros(n_terms, np.int64)
+        self._blk_parts = []  # per-partition block-array tuples
+        self._plane_parts = []  # merged u32 word-rows (_append_planes)
+        self._prow_total = 0  # exact plane rows emitted so far
+        self._n_postings_total = 0
+        self._hit_base = 0
+        self._max_pos = 0
+        self._pos_distinct = True
+        fd, self._pos_path = tempfile.mkstemp(
+            suffix=".trinity-pos.u32", dir=spill_dir
+        )
+        os.close(fd)
+        # total_hits may be an upper bound (merge feeds masked-filtered
+        # hits); finish() slices by the exact count written
+        self._pos_mm = np.lib.format.open_memmap(
+            self._pos_path, mode="w+", dtype=np.uint32,
+            shape=(max(total_hits, 1),),
+        )
+        self._pay_mm = None
+        self._pay_path = None
+        if track_payloads:
+            fd, self._pay_path = tempfile.mkstemp(
+                suffix=".trinity-pay.u64", dir=spill_dir
+            )
+            os.close(fd)
+            self._pay_mm = np.lib.format.open_memmap(
+                self._pay_path, mode="w+", dtype=PAYLOAD_DT,
+                shape=(max(total_hits, 1),),
+            )
+
+    def _append_planes(self, words, p_local):
+        """Merge a partition's packed planes at plane-row offset
+        _prow_total (not word-aligned): shift by `lead` bits with carry
+        across word rows, OR the first row into the previous tail."""
+        if p_local == 0:
+            return
+        lead = self._prow_total % 32
+        if lead == 0:
+            self._plane_parts.append(words.copy())
+        else:
+            lw = words.astype(np.uint64) << np.uint64(lead)
+            R = len(words)
+            ext = np.zeros((R + 1, BLOCK_SIZE), np.uint32)
+            ext[:R] = (lw & 0xFFFFFFFF).astype(np.uint32)
+            ext[1:] |= (lw >> np.uint64(32)).astype(np.uint32)
+            need = -(-(lead + p_local) // 32)
+            self._plane_parts[-1][-1] |= ext[0]
+            if need > 1:
+                self._plane_parts.append(ext[1:need])
+        self._prow_total += p_local
+
+    def add(self, lo, hi, tid_a, doc_a, pos_a, pay_a=None):
+        """Encode one partition: term ordinals in [lo, hi) (GLOBAL sorted
+        ordinals), streams lexsorted by (term, doc, pos), covering every
+        hit of those terms. Partitions must arrive in ascending order."""
+        n = len(tid_a)
+        if not n:
+            return
+        p_start, p_tid, p_doc, p_freq = _posting_runs(
+            tid_a, doc_a, self.n_docs
+        )
+        p_tid = p_tid - lo  # partition-local term index
+
+        nt = hi - lo
+        df = np.bincount(p_tid, minlength=nt)
+        self.term_df[lo:hi] = df
+        self.term_sum_hits[lo:hi] = np.bincount(
+            p_tid, weights=p_freq, minlength=nt
+        ).astype(np.uint64)
+        nb = -(-df // BLOCK_SIZE)
+        self.term_nblocks[lo:hi] = nb
+        nbl = int(nb.sum())
+        posting_start = np.zeros(nt + 1, np.int64)
+        posting_start[:-1] = np.searchsorted(p_tid, np.arange(nt))
+        posting_start[-1] = len(p_tid)
+        p_start_global = (p_start + self._hit_base).astype(np.uint32)
+
+        tbs = np.zeros(nt, np.int64)
+        if nt > 1:
+            tbs[1:] = np.cumsum(nb[:-1])
+        out = _encode_blocks(
+            posting_start, p_doc, p_freq, p_start_global, nt, nbl, tbs
+        )
+        (bpo, bfd, bld, bct, bbd, bbf, bho, bmf, words) = out
+        p_local = int(bbd.astype(np.int64).sum() + bbf.astype(np.int64).sum())
+        self._blk_parts.append(
+            (bpo.astype(np.int64) + self._prow_total,
+             bfd, bld, bct, bbd, bbf, bho, bmf)
+        )
+        self._append_planes(words, p_local)
+        self._n_postings_total += len(p_tid)
+        self._pos_mm[self._hit_base : self._hit_base + n] = pos_a
+        if self._pay_mm is not None:
+            self._pay_mm[self._hit_base : self._hit_base + n] = (
+                pay_a if pay_a is not None else np.zeros(n, PAYLOAD_DT)
+            )
+        self._hit_base += n
+        self._max_pos = max(self._max_pos, int(pos_a.max()))
+        # partitions are whole-term ranges, so (term, doc) runs never
+        # straddle partitions: AND of per-partition checks equals the
+        # monolithic check
+        self._pos_distinct = self._pos_distinct and _positions_distinct(
+            tid_a, doc_a, pos_a
+        )
+
+    def finish(self, app_ids, sorted_terms, updated) -> SegmentData:
+        from trinity_tpu.utils import native
+        from trinity_tpu.utils.bitpack import pack_value_groups
+
+        n_terms = self.n_terms
+        total = self._hit_base
+        term_block_start = np.zeros(n_terms, np.int64)
+        if n_terms > 1:
+            term_block_start[1:] = np.cumsum(self.term_nblocks[:-1])
+        if self._blk_parts:
+            block_arrays = [np.concatenate(x) for x in zip(*self._blk_parts)]
+        else:
+            block_arrays = [
+                np.zeros(0, d)
+                for d in (
+                    np.int64, np.uint32, np.uint32, np.int32,
+                    np.uint8, np.uint8, np.uint32, np.uint16,
+                )
+            ]
+        (bpo, bfd, bld, bct, bbd, bbf, bho, bmf) = block_arrays
+        planes = (
+            np.vstack(self._plane_parts)
+            if self._plane_parts
+            else np.zeros((0, BLOCK_SIZE), np.uint32)
+        )
+
+        pos_view = self._pos_mm[:total]
+        packed_pos = native.pack_value_groups(pos_view)
+        if packed_pos is None:
+            packed_pos = pack_value_groups(pos_view)
+        hit_planes, hit_group_off = packed_pos
+        payloads = (
+            np.asarray(self._pay_mm[:total])
+            if self._pay_mm is not None
+            else None
+        )
+
+        stats = FieldStatistics(
+            sum_term_hits=total,
+            total_terms=n_terms,
+            sum_terms_docs=self._n_postings_total,
+            docs_cnt=self.n_docs,
+        )
+        return SegmentData(
+            doc_map=app_ids,
+            terms=sorted_terms,
+            term_block_start=term_block_start.astype(np.uint32),
+            term_nblocks=self.term_nblocks.astype(np.uint32),
+            term_df=self.term_df,
+            term_sum_hits=self.term_sum_hits.astype(np.uint32),
+            block_plane_off=bpo.astype(np.uint32),
+            block_first_doc=bfd,
+            block_last_doc=bld,
+            block_count=bct,
+            block_bits_doc=bbd,
+            block_bits_freq=bbf,
+            block_hits_off=bho,
+            block_max_freq=bmf,
+            planes=planes,
+            hit_planes=hit_planes,
+            hit_group_off=hit_group_off,
+            payloads=payloads,
+            updated_ids=updated,
+            stats=stats,
+            max_position=self._max_pos,
+            positions_distinct=self._pos_distinct,
+        )
+
+    def close(self):
+        """Drop + unlink the scratch memmaps (idempotent)."""
+        self._pos_mm = None
+        if self._pos_path is not None:
+            try:
+                os.unlink(self._pos_path)
+            except OSError:
+                pass
+            self._pos_path = None
+        self._pay_mm = None
+        if self._pay_path is not None:
+            try:
+                os.unlink(self._pay_path)
+            except OSError:
+                pass
+            self._pay_path = None
 
 
 def _encode_blocks(

@@ -393,6 +393,43 @@ def decode_all_postings(seg: SegmentData):
     return tids, docs, freqs
 
 
+def decode_postings_range(seg: SegmentData, tid_lo: int, tid_hi: int):
+    """Decode the contiguous sorted-term range [tid_lo, tid_hi) ->
+    (term ids, local docids, freqs, hit_offset): flat arrays in (term, doc)
+    order plus the positions-stream offset of the range's first hit, so
+    `seg.positions[hit_offset : hit_offset + freqs.sum()]` is the range's
+    positions slice. The bounded-memory merge cursor: only this range's
+    blocks decode (the role of the reference's per-participant block
+    cursors in the codec-native merge, lucene_codec.cpp:963-1393), and
+    consecutive ranges tile decode_all_postings exactly."""
+    from trinity_tpu.config import get_config
+    from trinity_tpu.utils import native
+
+    n_blocks_total = len(seg.block_plane_off)
+    nt = seg.n_terms
+    b0 = int(seg.term_block_start[tid_lo]) if tid_lo < nt else n_blocks_total
+    b1 = int(seg.term_block_start[tid_hi]) if tid_hi < nt else n_blocks_total
+    if b1 <= b0:
+        z = np.zeros(0, np.uint32)
+        return np.zeros(0, np.int64), z, z, 0
+    nd = (
+        native.decode_blocks_range(seg, b0, b1)
+        if get_config().use_native
+        else None
+    )
+    if nd is None:
+        parts = [decode_block(seg, b) for b in range(b0, b1)]
+        docs = np.concatenate([p[0] for p in parts])
+        freqs = np.concatenate([p[1] for p in parts])
+    else:
+        docs, freqs = nd
+    tids = np.repeat(
+        np.arange(tid_lo, tid_hi, dtype=np.int64),
+        seg.term_df[tid_lo:tid_hi].astype(np.int64),
+    )
+    return tids, docs, freqs, int(seg.block_hits_off[b0])
+
+
 def term_positions(seg: SegmentData, tid: int, local_doc: int) -> np.ndarray:
     """Positions of a (term, doc) pair (materialize_hits analog,
     lucene_codec.cpp:767-856)."""

@@ -195,3 +195,34 @@ def decode_blocks(seg) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     if n != total:
         raise ValueError(f"native decode wrote {n} of {total} postings")
     return out_docs, out_freqs
+
+
+def decode_blocks_range(seg, b0: int, b1: int):
+    """Postings decode of the contiguous block range [b0, b1) ->
+    (docids u32, freqs u32) in block order. Plane offsets are absolute
+    into seg.planes, so slicing only the block metadata arrays suffices —
+    this is the bounded-memory merge cursor (only one term partition's
+    blocks decode at a time). None if lib missing."""
+    lib = load()
+    if lib is None:
+        return None
+    nb = b1 - b0
+    total = int(seg.block_count[b0:b1].sum()) if nb > 0 else 0
+    out_docs = np.zeros(total, np.uint32)
+    out_freqs = np.zeros(total, np.uint32)
+    if nb <= 0:
+        return out_docs, out_freqs
+    n = lib.trin_decode_blocks(
+        nb,
+        np.ascontiguousarray(seg.planes.reshape(-1), np.uint32),
+        np.ascontiguousarray(seg.block_plane_off[b0:b1], np.uint32),
+        np.ascontiguousarray(seg.block_bits_doc[b0:b1], np.uint8),
+        np.ascontiguousarray(seg.block_bits_freq[b0:b1], np.uint8),
+        np.ascontiguousarray(seg.block_first_doc[b0:b1], np.uint32),
+        np.ascontiguousarray(seg.block_count[b0:b1], np.int32),
+        out_docs,
+        out_freqs,
+    )
+    if n != total:
+        raise ValueError(f"native decode wrote {n} of {total} postings")
+    return out_docs, out_freqs
