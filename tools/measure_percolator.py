@@ -1,0 +1,193 @@
+"""Percolator perf artifact (BASELINE config #4; VERDICT r4 item 6):
+thousands of registered queries x streaming document batches.
+
+The reference's percolator is the Twitter-style predicate index
+(percolator.cpp:9-137): register queries once, stream documents, each doc
+returns its matching query ids. Here the whole (docs x queries) boolean
+evaluation is one jitted device program (postfix scan, percolator.py);
+the denominator is the natural host implementation over the SAME packed
+programs — a per-query numpy postfix loop vectorized across the doc batch
+(already generous: the reference evaluates per (doc, query)).
+
+Prints per-config JSON lines + writes PERCOLATOR_r05.json at the repo
+root. TPU-serialized: run alone, after a health gate.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+N_QUERIES = 5000
+VOCAB = 3000
+DOC_BATCH = 512
+DOC_LEN = (40, 81)
+N_BATCHES = 8
+ZIPF_S = 1.07
+
+
+def build_queries(rng):
+    """Mixed registered set: 40% AND(2-3), 25% OR(2-3), 15% NOT, 10%
+    k-of-n, 10% phrase bigrams/trigrams (drawn adjacent from a seed doc so
+    some actually match)."""
+    from trinity_tpu.query.parser import parse_query
+
+    zipf = 1.0 / np.arange(1, VOCAB + 1) ** ZIPF_S
+    zipf /= zipf.sum()
+    pick = lambda: int(rng.choice(VOCAB, p=zipf))
+
+    def distinct(n):
+        out = []
+        while len(out) < n:
+            t = pick()
+            if t not in out:
+                out.append(t)
+        return out
+
+    texts = []
+    for i in range(N_QUERIES):
+        kind = i % 20
+        if kind < 8:
+            ts = distinct(2 if kind < 5 else 3)
+            texts.append(" ".join(f"p{t}" for t in ts))
+        elif kind < 13:
+            ts = distinct(2 if kind < 11 else 3)
+            texts.append(" OR ".join(f"p{t}" for t in ts))
+        elif kind < 16:
+            a, b = distinct(2)
+            texts.append(f"p{a} NOT p{b}")
+        elif kind < 18:
+            ts = distinct(4)
+            texts.append("[" + ",".join(f"p{t}" for t in ts) + "]/2")
+        else:
+            ts = distinct(2 if kind == 18 else 3)
+            texts.append('"' + " ".join(f"p{t}" for t in ts) + '"')
+    return [parse_query(t) for t in texts]
+
+
+def gen_docs(rng, n_docs):
+    zipf = 1.0 / np.arange(1, VOCAB + 1) ** ZIPF_S
+    zipf /= zipf.sum()
+    docs = []
+    for _ in range(n_docs):
+        ln = int(rng.integers(*DOC_LEN))
+        docs.append([f"p{int(t)}" for t in rng.choice(VOCAB, ln, p=zipf)])
+    return docs
+
+
+def host_eval(ops, incidence, ph_inc):
+    """Host denominator: per-query postfix over numpy doc-vectors (same
+    semantics as percolator._eval_fn's device scan)."""
+    n_docs = incidence.shape[0]
+    n_q = ops.shape[0]
+    out = np.zeros((n_docs, n_q), bool)
+    for qi in range(n_q):
+        stack = []
+        for op, arg in ops[qi]:
+            if op == 0:
+                continue
+            elif op == 1:
+                stack.append(np.zeros(n_docs, np.int32))
+            elif op == 2:
+                stack.append(np.ones(n_docs, np.int32))
+            elif op == 3:
+                stack.append(incidence[:, arg].astype(np.int32))
+            elif op == 4:
+                stack.append(ph_inc[:, arg].astype(np.int32))
+            elif op == 5:
+                b, a = stack.pop(), stack.pop()
+                stack.append(((a > 0) & (b > 0)).astype(np.int32))
+            elif op == 6:
+                b, a = stack.pop(), stack.pop()
+                stack.append(((a > 0) | (b > 0)).astype(np.int32))
+            elif op == 7:
+                b, a = stack.pop(), stack.pop()
+                stack.append(((a > 0) & (b == 0)).astype(np.int32))
+            elif op == 8:
+                stack.append((stack.pop() == 0).astype(np.int32))
+            elif op == 9:
+                stack.append(np.ones_like(stack.pop()))
+            elif op == 10:
+                b, a = stack.pop(), stack.pop()
+                stack.append(a + b)
+            elif op == 11:
+                stack.append((stack.pop() >= arg).astype(np.int32))
+        out[:, qi] = stack[0] > 0
+    return out
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench
+    from trinity_tpu.config import configure
+    from trinity_tpu.percolator import Percolator
+
+    configure(aot_cache_dir="/root/repo/.aot_cache")
+    rng = np.random.default_rng(77)
+    perc = Percolator()
+    t0 = time.time()
+    for q in build_queries(rng):
+        perc.register(q)
+    reg_s = time.time() - t0
+    batches = [gen_docs(rng, DOC_BATCH) for _ in range(N_BATCHES)]
+
+    # ---- host denominator (BEFORE TPU work; 1-core host rule) ----
+    ops, uniq_phrases = perc._pack()
+    host_s = []
+    ref_out = None
+    for docs in batches[:2]:
+        t1 = time.perf_counter()
+        # identical incidence construction cost is charged to BOTH sides
+        inc, ph = perc.build_incidence(docs, uniq_phrases)
+        got = host_eval(ops, inc, ph)
+        host_s.append(time.perf_counter() - t1)
+        if ref_out is None:
+            ref_out = got
+    host_dps = DOC_BATCH / np.median(host_s)
+
+    bench._wait_for_device()
+    # warmup (compile) + parity check on batch 0
+    dev0 = np.asarray(perc.match_batch(batches[0]))
+    assert dev0.shape == ref_out.shape
+    np.testing.assert_array_equal(dev0, ref_out)
+
+    lat = []
+    t_loop = time.perf_counter()
+    for docs in batches:
+        t1 = time.perf_counter()
+        perc.match_batch(docs)
+        lat.append(time.perf_counter() - t1)
+    wall = time.perf_counter() - t_loop
+    lat_ms = np.array(lat) * 1e3
+    out = {
+        "tool": "measure_percolator",
+        "n_queries": perc.n_queries,
+        "doc_batch": DOC_BATCH,
+        "docs_per_s": round(N_BATCHES * DOC_BATCH / wall),
+        "batch_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+        "batch_p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+        "host_docs_per_s": round(float(host_dps)),
+        "vs_host": round(
+            float((N_BATCHES * DOC_BATCH / wall) / host_dps), 2
+        ),
+        "register_s": round(reg_s, 1),
+        "parity": "exact (device == host postfix, batch 0)",
+    }
+    print(json.dumps(out))
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PERCOLATOR_r05.json"), "w"
+    ) as f:
+        json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()

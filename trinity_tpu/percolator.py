@@ -202,6 +202,15 @@ class Percolator:
         one jitted device scan over all queries and documents.
         """
         ops, uniq_phrases = self._pack()
+        incidence, ph_inc = self.build_incidence(docs, uniq_phrases, first_pos)
+        return np.asarray(_eval_programs(ops, incidence, ph_inc))
+
+    def build_incidence(
+        self, docs, uniq_phrases, first_pos: int = 1
+    ) -> tuple:
+        """Host incidence construction (shared by match_batch and the perf
+        tool's host denominator, tools/measure_percolator.py, so both sides
+        are charged the identical preprocessing cost)."""
         n_docs = len(docs)
         n_terms = max(1, len(self._vocab))
         docs = [list(toks) for toks in docs]
@@ -265,7 +274,7 @@ class Percolator:
                         idx_c = np.minimum(idx, len(keys) - 1)
                         ok &= in_field & (keys[idx_c] == tk)
                     ph_inc[d0[ok], pi] = True
-        return np.asarray(_eval_programs(ops, incidence, ph_inc))
+        return incidence, ph_inc
 
     def match_ids_for_corpus(self, docs):
         """Convenience for tests: {qid: [doc indices]}."""
