@@ -421,15 +421,21 @@ def _build_search_fn(tape, scorer_name, W, T, k, interpret, mode):
 
 
 @functools.lru_cache(maxsize=512)
-def _build_batch_combined(spec, scorer_name, W, k, interpret):
+def _build_batch_combined(spec, layout, scorer_name, W, k, interpret):
     """ALL of a batch's groups in ONE jitted program with ONE packed f32
-    output. Through the remote-device tunnel each dispatch and each fetched
-    result array pays a fixed ~11-18 ms round trip (measured: 9 result
-    leaves over 5 calls ~= 160 ms of a 198 ms batch), so the per-group
-    programs are inlined into a single pjit call and their (gv, gi[,
-    resolved]) outputs concatenate into one (sum rows, k) f32 array —
-    docids < 2^24 are f32-exact. The reference never pays a per-call cost
-    like this (in-process execution, exec.cpp:509); this is the TPU-tunnel
+    output AND one packed input per dtype. Through the remote-device tunnel
+    each dispatch and each fetched result array pays a fixed ~11-18 ms
+    round trip (measured: 9 result leaves over 5 calls ~= 160 ms of a
+    198 ms batch), so the per-group programs are inlined into a single pjit
+    call and their (gv, gi[, resolved]) outputs concatenate into one
+    (sum rows, k) f32 array — docids < 2^24 are f32-exact. The same
+    economics apply on the INPUT side: the r5 launch profile measured the
+    per-batch host planning at ~41 ms, ~37 ms of it in ~38 small
+    device_put transfers, so the per-group input arrays concatenate
+    host-side into ONE i32 and ONE f32 buffer and are re-sliced here with
+    static offsets (`layout` = ((dtype_str, shape), ...) per array, part
+    of the program key). The reference never pays a per-call cost like
+    this (in-process execution, exec.cpp:509); this is the TPU-tunnel
     analog of its one-call-per-query model.
 
     spec entries: ("fused", tape, T, B) | ("flat", T, B) |
@@ -469,7 +475,21 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
             )
 
     def run(bmeta, planes, tfp, hit_pw, hit_off, hit_goff, pplanes, n_docs,
-            deleted_tiles, deleted_flat, *flat):
+            deleted_tiles, deleted_flat, ibuf, fbuf):
+        # re-slice the two packed input buffers into the per-group arrays
+        # (static offsets — `layout` is part of the lru/aot key)
+        flat = []
+        io = fo = 0
+        for dt, shp in layout:
+            n = 1
+            for d in shp:
+                n *= d
+            if dt == "f4":
+                flat.append(fbuf[fo : fo + n].reshape(shp))
+                fo += n
+            else:
+                flat.append(ibuf[io : io + n].reshape(shp))
+                io += n
         rows = []
         off = 0
         for ent, fn in zip(spec, fns):
@@ -513,7 +533,10 @@ def _build_batch_combined(spec, scorer_name, W, k, interpret):
                 )
         return jnp.concatenate(rows, axis=0)
 
-    return aot_jit(run, "_build_batch_combined", spec, scorer_name, W, k, interpret)
+    return aot_jit(
+        run, "_build_batch_combined", spec, layout, scorer_name, W, k,
+        interpret,
+    )
 
 
 def _tape_matches_empty(tape) -> bool:
@@ -2213,22 +2236,16 @@ class Executor:
                     weights[bi] = wrow
             if is_flat:
                 spec_entries.append(("flat", T, B))
-                flat_inputs += [
-                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights),
-                    jnp.asarray(gflags), jnp.asarray(gkmin),
-                    jnp.asarray(cids),
-                ]
+                flat_inputs += [cs, cn, weights, gflags, gkmin, cids]
                 group_meta.append((members, "flat", B, None))
             else:
                 kind = (
                     "fused" if _fused_used_slots(key) is not None else "dense"
                 )
                 spec_entries.append((kind, key, T, B))
-                flat_inputs += [
-                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
-                ]
+                flat_inputs += [cs, cn, weights]
                 if kind == "fused":
-                    flat_inputs.append(jnp.asarray(cids))
+                    flat_inputs.append(cids)
                 group_meta.append((members, kind, B, None))
         for gk, members in phrase_groups.items():
             key = gk[0] if isinstance(gk[0], tuple) else gk  # strip C2 part
@@ -2240,7 +2257,7 @@ class Executor:
                 if prep is not None:
                     spec, arrays = prep
                     spec_entries.append(spec)
-                    flat_inputs += [jnp.asarray(a) for a in arrays]
+                    flat_inputs += list(arrays)
                     group_meta.append((members, "posph", spec[3], None))
                     continue
             prep = (
@@ -2253,9 +2270,7 @@ class Executor:
             if prep is not None:
                 spec, (cs, cn, weights), ctx = prep
                 spec_entries.append(spec)
-                flat_inputs += [
-                    jnp.asarray(cs), jnp.asarray(cn), jnp.asarray(weights)
-                ]
+                flat_inputs += [cs, cn, weights]
                 group_meta.append((members, "lazyph", spec[3], ctx))
             else:
                 out = self._run_phrase_batch(
@@ -2264,8 +2279,28 @@ class Executor:
                 pending.append((members, out))
         packed_dev = None
         if spec_entries:
+            # ONE transfer per dtype: the r5 launch profile measured ~38
+            # small per-group device_puts at ~37 ms of the ~41 ms host-side
+            # launch cost — concatenated here, re-sliced in-program (the
+            # layout is part of the program key, so variants are unchanged)
+            i_parts, f_parts, lay = [], [], []
+            for a in flat_inputs:
+                if a.dtype == np.float32:
+                    f_parts.append(a.ravel())
+                    lay.append(("f4", a.shape))
+                else:
+                    i_parts.append(np.asarray(a, np.int32).ravel())
+                    lay.append(("i4", a.shape))
+            layout = tuple(lay)
+            ibuf = (
+                np.concatenate(i_parts) if i_parts else np.zeros(1, np.int32)
+            )
+            fbuf = (
+                np.concatenate(f_parts) if f_parts else np.zeros(1, np.float32)
+            )
             fn = _build_batch_combined(
-                tuple(spec_entries), scorer, seg.n_windows, k, self.interpret
+                tuple(spec_entries), layout, scorer, seg.n_windows, k,
+                self.interpret,
             )
             # pass the posmask cache only when a posph entry reads it: the
             # cache array's SHAPE is part of the jit signature, and feeding
@@ -2279,7 +2314,8 @@ class Executor:
                 self.bmeta, self.planes, self.tf_planes, self.hit_pw,
                 self.hit_off, self.hit_goff, pplanes,
                 np.int32(seg.n_docs),
-                self._deleted_tiles, self._deleted, *flat_inputs,
+                self._deleted_tiles, self._deleted,
+                jnp.asarray(ibuf), jnp.asarray(fbuf),
             )
         return (packed_dev, group_meta, pending, results, _t0)
 
