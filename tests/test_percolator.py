@@ -198,3 +198,52 @@ def test_percolator_scale_with_phrases():
             q = parse_query(texts[int(qi)])
             want = bool(len(oracle_match_ids(corpus, q.root)))
             assert bool(m[int(di), int(qi)]) == want, (di, qi)
+
+
+def test_chunked_query_eval_matches_unchunked(monkeypatch):
+    """The query axis chunks when the push-table/stack budget is exceeded
+    (regression: a 5000-query x 512-doc batch OOMed the device at 18.3 GB
+    via a vmapped-switch broadcast before the pre-gathered push table).
+    Forcing a tiny budget must produce identical results to one program."""
+    from trinity_tpu import percolator as P
+
+    rng = np.random.default_rng(3)
+    p = Percolator()
+    for i in range(300):
+        a, b = rng.choice(40, 2, replace=False)
+        p.register(f"w{a} w{b}" if i % 2 else f"w{a} OR w{b}")
+    docs = [
+        [f"w{int(x)}" for x in rng.choice(40, 10, replace=False)]
+        for _ in range(32)
+    ]
+    want = p.match_batch(docs)
+    monkeypatch.setattr(P, "_CHUNK_BUDGET_BYTES", 1)  # chunk floor = 256 < 300
+    p._device_state = None
+    got = p.match_batch(docs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_match_stream_matches_match_batch():
+    """match_stream (pipelined dispatch) yields exactly match_batch's
+    results, in order, including after a mid-stream-invalidating register."""
+    rng = np.random.default_rng(9)
+    p = Percolator()
+    for i in range(200):
+        a, b = rng.choice(30, 2, replace=False)
+        p.register(f"w{a} w{b}" if i % 3 else f"w{a} NOT w{b}")
+    batches = [
+        [
+            [f"w{int(x)}" for x in rng.choice(30, 8, replace=False)]
+            for _ in range(16 + bi)  # varying batch sizes
+        ]
+        for bi in range(4)
+    ]
+    want = [p.match_batch(d) for d in batches]
+    got = list(p.match_stream(batches))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    # registration invalidates the staged device programs
+    p.register("w0 w1 w2")
+    m = p.match_batch(batches[0])
+    assert m.shape == (16, 201)
